@@ -1,0 +1,287 @@
+"""Batched number-theoretic transforms over the RNS limb axis.
+
+TPU-native replacement for reference CModulus/bluestein/PGFFT
+(/root/reference/src/CModulus.cpp, src/bluestein.cpp):
+
+  * power-of-2 m  : negacyclic radix-2 NTT of size N = m/2 over Z_q[X]/(X^N+1)
+  * odd m         : full m-point cyclic DFT via Bluestein, with the length-B
+                    (B = 2^ceil(lg(2m-1))) convolutions done EXACTLY over three
+                    global 30-bit auxiliary primes ≡ 1 mod 2^18 and CRT'd back
+                    mod q.  (The reference does the same trick through NTL's
+                    fftRep FFT primes.)
+
+Design notes:
+  * Stage twiddle tables are built by symbolic recursion on root exponents —
+    the output ("evaluation") ordering is *generated* as `eval_exponents`,
+    and every downstream table (automorphism permutations, encode maps) is
+    built against that ordering.  No bit-reversal passes on device.
+  * For odd m, ring elements are represented mod X^m - 1 (evaluations at ALL
+    m-th roots of unity), not mod Phi_m: this removes on-device polynomial
+    division entirely (reference iFFT divides by Phi_m, CModulus.h:89) and
+    makes automorphisms clean index permutations.  Reduction mod Phi_m happens
+    once, on the host, at the decrypt/decode boundary.
+  * Data layout: [..., L, N] uint32 residues; per-limb primes broadcast [L, 1].
+
+All transforms are pure jnp (jit-traceable); Pallas fusions replace the hot
+loops without changing these semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..nt.numbth import root_of_unity, inv_mod
+from ..nt.primegen import gen_aux_primes, AUX_POW2
+from .modops import (add_mod, sub_mod, mul_mod_shoup, shoup, reduce_u32, U32)
+
+
+# ---------------------------------------------------------------------------
+# table construction (host, exact ints / uint64 numpy)
+# ---------------------------------------------------------------------------
+
+def power_table(r: int, q: int, length: int) -> np.ndarray:
+    """[1, r, r^2, ..., r^(length-1)] mod q, vectorized (q < 2^31)."""
+    pw = np.array([1], dtype=np.uint64)
+    q64 = np.uint64(q)
+    while len(pw) < length:
+        step = pow(r, len(pw), q)
+        pw = np.concatenate([pw, pw * np.uint64(step) % q64])
+    return pw[:length].astype(np.uint32)
+
+
+def _stage_exponents(n: int, e0: int, ord_root: int):
+    """Symbolic DIT splitting.  Block i at stage s represents reduction mod
+    (X^(n/2^s) - r^E[i]) for a root r of order `ord_root`.  Returns
+    (per-stage twiddle exponent lists, final evaluation exponents)."""
+    stages = []
+    E = [e0]
+    while len(E) < n:
+        tw = [e // 2 for e in E]
+        stages.append(tw)
+        E = [x for e in tw for x in (e, e + ord_root // 2)]
+    return stages, E
+
+
+@dataclass
+class Pow2NTT:
+    """Tables for batched radix-2 NTT over primes qs, transform size n.
+
+    negacyclic=True : ring Z_q[X]/(X^n+1), root psi of order 2n.
+    negacyclic=False: cyclic DFT of size n, root omega of order n.
+    """
+    qs: np.ndarray            # [P] uint32
+    n: int
+    negacyclic: bool
+    q_d: jnp.ndarray = field(init=False)            # [P, 1]
+    tw: list = field(init=False)                    # stage s: [P, 2^s]
+    tw_sh: list = field(init=False)
+    itw: list = field(init=False)
+    itw_sh: list = field(init=False)
+    ninv: jnp.ndarray = field(init=False)           # [P, 1]
+    ninv_sh: jnp.ndarray = field(init=False)
+    eval_exponents: np.ndarray = field(init=False)  # [n] exponents of the root
+    roots: list = field(init=False)
+
+    def __post_init__(self):
+        n = self.n
+        qs = np.asarray(self.qs, dtype=np.uint64)
+        assert n & (n - 1) == 0
+        ordr = 2 * n if self.negacyclic else n
+        e0 = n if self.negacyclic else 0
+        stage_exps, eval_exps = _stage_exponents(n, e0, ordr)
+        self.eval_exponents = np.array(eval_exps, dtype=np.int64)
+        self.roots = [root_of_unity(ordr, int(q)) for q in qs]
+        # full power tables per prime: [P, ordr]
+        pw = np.stack([power_table(r, int(q), ordr)
+                       for r, q in zip(self.roots, qs)])
+        tw, tw_sh, itw, itw_sh = [], [], [], []
+        for exps in stage_exps:
+            e = np.array(exps, dtype=np.int64) % ordr
+            wt = pw[:, e]
+            iwt = pw[:, (-e) % ordr]
+            tw.append(jnp.asarray(wt))
+            tw_sh.append(jnp.asarray(shoup(wt, qs[:, None])))
+            itw.append(jnp.asarray(iwt))
+            itw_sh.append(jnp.asarray(shoup(iwt, qs[:, None])))
+        self.tw, self.tw_sh, self.itw, self.itw_sh = tw, tw_sh, itw, itw_sh
+        ninv = np.array([inv_mod(n, int(q)) for q in qs], dtype=np.uint32)[:, None]
+        self.ninv = jnp.asarray(ninv)
+        self.ninv_sh = jnp.asarray(shoup(ninv, qs[:, None]))
+        self.q_d = jnp.asarray(qs.astype(np.uint32)[:, None])
+
+    def tree(self):
+        """Pytree of device tables (passed through jit boundaries)."""
+        return {"q": self.q_d, "tw": self.tw, "tw_sh": self.tw_sh,
+                "itw": self.itw, "itw_sh": self.itw_sh,
+                "ninv": self.ninv, "ninv_sh": self.ninv_sh}
+
+
+def _broadcast_tree(t, k: int):
+    """Insert an axis after the prime axis in every table so the NTT can run
+    with extra batch dims between P and the transform axis."""
+    def exp(a):
+        return a.reshape(a.shape[0], *([1] * k), *a.shape[1:])
+    return {"q": exp(t["q"]), "ninv": exp(t["ninv"]), "ninv_sh": exp(t["ninv_sh"]),
+            "tw": [exp(a) for a in t["tw"]],
+            "tw_sh": [exp(a) for a in t["tw_sh"]],
+            "itw": [exp(a) for a in t["itw"]],
+            "itw_sh": [exp(a) for a in t["itw_sh"]]}
+
+
+# ---------------------------------------------------------------------------
+# device transforms
+# ---------------------------------------------------------------------------
+
+def ntt_pow2_fwd(x, t):
+    """x: [..., P, n] coefficients -> evaluations in `eval_exponents` order."""
+    n = x.shape[-1]
+    q = t["q"][..., None]  # [.., P, 1, 1]
+    for s, (w, ws) in enumerate(zip(t["tw"], t["tw_sh"])):
+        m = 1 << s
+        half = n // (2 * m)
+        xr = x.reshape(*x.shape[:-1], m, 2, half)
+        u, v = xr[..., 0, :], xr[..., 1, :]
+        wv = mul_mod_shoup(v, w[..., :, None], ws[..., :, None], q)
+        y = jnp.stack([add_mod(u, wv, q), sub_mod(u, wv, q)], axis=-2)
+        x = y.reshape(*y.shape[:-3], n)
+    return x
+
+
+def ntt_pow2_inv(x, t):
+    """Inverse of ntt_pow2_fwd (output: natural coefficient order)."""
+    n = x.shape[-1]
+    q = t["q"][..., None]
+    for s in reversed(range(len(t["itw"]))):
+        w, ws = t["itw"][s], t["itw_sh"][s]
+        m = 1 << s
+        half = n // (2 * m)
+        xr = x.reshape(*x.shape[:-1], m, 2, half)
+        a, b = xr[..., 0, :], xr[..., 1, :]
+        u = add_mod(a, b, q)
+        d = sub_mod(a, b, q)
+        v = mul_mod_shoup(d, w[..., :, None], ws[..., :, None], q)
+        y = jnp.stack([u, v], axis=-2)
+        x = y.reshape(*y.shape[:-3], n)
+    return mul_mod_shoup(x, t["ninv"], t["ninv_sh"], t["q"])
+
+
+# ---------------------------------------------------------------------------
+# Bluestein general-m DFT
+# ---------------------------------------------------------------------------
+
+_AUX_CACHE: dict = {}
+
+
+def aux_primes() -> np.ndarray:
+    if "qs" not in _AUX_CACHE:
+        _AUX_CACHE["qs"] = np.array(gen_aux_primes(3), dtype=np.uint32)
+    return _AUX_CACHE["qs"]
+
+
+def aux_ntt(B: int) -> Pow2NTT:
+    key = ("ntt", B)
+    if key not in _AUX_CACHE:
+        _AUX_CACHE[key] = Pow2NTT(aux_primes(), B, negacyclic=False)
+    return _AUX_CACHE[key]
+
+
+@dataclass
+class BluesteinTables:
+    """Per-(prime set, m) tables for the full-m DFT mod each q in qs."""
+    qs: np.ndarray                      # [P]
+    m: int
+    inverse: bool
+    B: int = field(init=False)
+    dev: dict = field(init=False)
+
+    def __post_init__(self):
+        m = self.m
+        qs = np.asarray(self.qs, dtype=np.uint64)
+        assert m % 2 == 1, "Bluestein path expects odd m"
+        B = 1 << int(np.ceil(np.log2(2 * m - 1)))
+        assert B <= (1 << AUX_POW2)
+        self.B = B
+        P = len(qs)
+        raux = aux_primes().astype(np.uint64)
+        nttB = aux_ntt(B)
+
+        u_in = np.empty((P, m), dtype=np.uint32)
+        u_out = np.empty((P, m), dtype=np.uint32)
+        khat = np.empty((3, P, B), dtype=np.uint32)
+        inv2 = (m + 1) // 2
+        isq = (np.arange(m, dtype=np.int64) ** 2) % m
+        for k, q in enumerate(qs):
+            q = int(q)
+            w = root_of_unity(m, q)
+            if self.inverse:
+                w = inv_mod(w, q)
+            u = pow(w, inv2, q)
+            upw = power_table(u, q, m)
+            uipw = power_table(inv_mod(u, q), q, m)
+            u_in[k] = upw[isq]
+            if self.inverse:
+                minv = np.uint64(inv_mod(m, q))
+                u_out[k] = (u_in[k].astype(np.uint64) * minv % np.uint64(q)
+                            ).astype(np.uint32)
+            else:
+                u_out[k] = u_in[k]
+            # kernel bb[d] = u^{-d^2}, wrapped negative indices
+            usq_inv = uipw[isq]
+            bb = np.zeros(B, dtype=np.uint32)
+            bb[:m] = usq_inv
+            bb[B - m + 1:] = usq_inv[1:][::-1]
+            b3 = (bb[None, :].astype(np.uint64) % raux[:, None]).astype(np.uint32)
+            khat[:, k, :] = np.asarray(ntt_pow2_fwd(jnp.asarray(b3), nttB.tree()))
+
+        R = int(raux[0]) * int(raux[1]) * int(raux[2])
+        Rt = [R // int(r) for r in raux]
+        yt_inv = np.array([inv_mod(Rt[t] % int(raux[t]), int(raux[t]))
+                           for t in range(3)], dtype=np.uint32)
+        Rt_mod_q = np.array([[Rt[t] % int(q) for q in qs] for t in range(3)],
+                            dtype=np.uint32)           # [3, P]
+        negR_mod_q = np.array([(-R) % int(q) for q in qs], dtype=np.uint32)
+
+        qs32 = qs.astype(np.uint32)
+        self.dev = {
+            "q": jnp.asarray(qs32[:, None]),                       # [P,1]
+            "aux_q": jnp.asarray(aux_primes()[:, None, None]),     # [3,1,1]
+            "u_in": jnp.asarray(u_in),
+            "u_in_sh": jnp.asarray(shoup(u_in, qs[:, None])),
+            "u_out": jnp.asarray(u_out),
+            "u_out_sh": jnp.asarray(shoup(u_out, qs[:, None])),
+            "khat": jnp.asarray(khat),                             # [3,P,B]
+            "khat_sh": jnp.asarray(shoup(khat, raux[:, None, None])),
+            "yt_inv": jnp.asarray(yt_inv[:, None, None]),
+            "yt_inv_sh": jnp.asarray(shoup(yt_inv, raux)[:, None, None]),
+            "Rt_mod_q": jnp.asarray(Rt_mod_q[:, :, None]),         # [3,P,1]
+            "Rt_mod_q_sh": jnp.asarray(shoup(Rt_mod_q, qs[None, :])[:, :, None]),
+            "negR": jnp.asarray(negR_mod_q[:, None]),              # [P,1]
+            "negR_sh": jnp.asarray(shoup(negR_mod_q, qs)[:, None]),
+            "inv_r_f32": jnp.asarray((1.0 / raux.astype(np.float64))
+                                     .astype(np.float32)[:, None, None]),
+            "aux": _broadcast_tree(nttB.tree(), 1),                # P-broadcast
+        }
+
+
+def bluestein_apply(x, t, m: int, B: int):
+    """Full-m DFT (per table direction) of x: [..., P, m] -> [..., P, m]."""
+    q = t["q"]
+    a = mul_mod_shoup(x, t["u_in"], t["u_in_sh"], q)           # [..., P, m]
+    a3 = reduce_u32(a[..., None, :, :], t["aux_q"])            # [..., 3, P, m]
+    pad = [(0, 0)] * (a3.ndim - 1) + [(0, B - m)]
+    ap = jnp.pad(a3, pad)
+    A = ntt_pow2_fwd(ap, t["aux"])
+    Pr = mul_mod_shoup(A, t["khat"], t["khat_sh"], t["aux_q"])
+    p = ntt_pow2_inv(Pr, t["aux"])                             # [..., 3, P, B]
+    y = mul_mod_shoup(p, t["yt_inv"], t["yt_inv_sh"], t["aux_q"])
+    alpha = jnp.floor(jnp.sum(y.astype(jnp.float32) * t["inv_r_f32"], axis=-3)
+                      + jnp.float32(0.25)).astype(U32)         # [..., P, B]
+    terms = mul_mod_shoup(y, t["Rt_mod_q"], t["Rt_mod_q_sh"], q[None])
+    acc = add_mod(add_mod(terms[..., 0, :, :], terms[..., 1, :, :], q),
+                  terms[..., 2, :, :], q)
+    corr = mul_mod_shoup(alpha, t["negR"], t["negR_sh"], q)
+    V = add_mod(acc, corr, q)[..., :m]
+    return mul_mod_shoup(V, t["u_out"], t["u_out_sh"], q)
