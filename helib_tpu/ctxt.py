@@ -1,0 +1,302 @@
+"""Ciphertext with noise bookkeeping.
+
+TPU-native equivalent of reference Ctxt (/root/reference/src/Ctxt.cpp,
+include/helib/Ctxt.h:397-1608).  The noise-tracking state machine follows the
+reference's formulas; prime-set management is simplified to (prefix k,
+specials?) thanks to uniform prime sizes (see context.py design note, which
+replaces the ModuliSizes subset search of reference src/primeChain.cpp).
+
+All magnitudes are log2-domain Python floats (role of NTL::xdouble).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from .context import Context, log2_add, log2_sum, NEG_INF
+from . import dcrt
+from .dcrt import (rt_add, rt_sub, rt_mul, rt_neg, rt_mul_scalar,
+                   rt_automorph, rt_scale_down, rt_add_special_and_scale,
+                   rt_break_into_digits)
+from .keys import SKHandle, SecKey, PubKey, KSMatrix, balanced_int
+from .nt.numbth import inv_mod
+
+SAFETY_BITS = 1.0   # reference `safety` margin (log 2) in interval selection
+SLACK_BITS = 4.0
+
+
+@dataclass
+class Ctxt:
+    ctx: Context
+    pubkey: PubKey
+    parts: list                 # [(SKHandle, jnp [P, N])]
+    k: int                      # live ctxt-prime prefix length
+    special: bool               # special primes included?
+    ptxt_space: int
+    noise: float                # log2 canonical-embedding noise bound
+    intFactor: int = 1
+
+    # ------------------------------------------------------------------ utils
+    def copy(self) -> "Ctxt":
+        return Ctxt(self.ctx, self.pubkey, list(self.parts), self.k,
+                    self.special, self.ptxt_space, self.noise, self.intFactor)
+
+    def log2_modulus(self) -> float:
+        v = self.ctx.log2_q(self.k)
+        if self.special:
+            v += self.ctx.log2_special()
+        return v
+
+    def capacity(self) -> float:
+        """log2(Q/noise) (reference Ctxt.h:1314)."""
+        return self.log2_modulus() - self.noise
+
+    def is_correct(self) -> bool:
+        return self.capacity() > 1.0
+
+    def _find_part(self, handle: SKHandle) -> int:
+        for i, (h, _) in enumerate(self.parts):
+            if h == handle:
+                return i
+        return -1
+
+    def mod_switch_added_noise(self) -> float:
+        """Reference Ctxt::modSwitchAddedNoiseBound (Ctxt.cpp:2558)."""
+        ctx = self.ctx
+        acc = NEG_INF
+        for h, _ in self.parts:
+            if h.is_one:
+                acc = log2_add(acc, 0.0)
+            else:
+                acc = log2_add(acc, h.powS * self.pubkey.sk_bound)
+        rounding = ctx.noise_uniform(math.log2(self.ptxt_space / 2.0))
+        return acc + rounding
+
+    # ------------------------------------------------------- mod switching
+    def mod_down_to(self, new_k: int, new_special: bool):
+        """Real modulus switching down (reference Ctxt::modDownToSet)."""
+        assert new_k <= self.k
+        if new_k == self.k and new_special == self.special:
+            return
+        added = self.mod_switch_added_noise()
+        drop_bits = self.log2_modulus()
+        ps = self.ptxt_space if self.ctx.scheme == "bgv" else 1
+        new_parts = []
+        for h, data in self.parts:
+            new_parts.append((h, rt_scale_down(
+                self.ctx, data, self.k, self.special, new_k, new_special, ps)))
+        self.parts = new_parts
+        self.k, self.special = new_k, new_special
+        drop_bits -= self.log2_modulus()
+        self.noise = log2_add(self.noise - drop_bits, added)
+
+    def drop_special_primes(self):
+        if self.special:
+            self.mod_down_to(self.k, False)
+
+    def bring_to_k(self, new_k: int):
+        self.drop_special_primes()
+        if new_k < self.k:
+            self.mod_down_to(new_k, False)
+
+    def natural_k(self) -> int:
+        """Largest prefix k' with log2_q(k') <= capacity-ish target
+        (role of reference naturalPrimeSet/computeIntervalForMul)."""
+        hi = (self.capacity() + self.mod_switch_added_noise()
+              + (self.ctx.log2_special() if self.special else 0.0)
+              - SAFETY_BITS)
+        k = self.k
+        while k > 1 and self.ctx.log2_q(k) > hi:
+            k -= 1
+        return k
+
+    # ------------------------------------------------------------- addition
+    def _match_factors(self, other: "Ctxt"):
+        """Equalize intFactor by scaling the smaller-noise ctxt (reference
+        addCtxt intFactor logic)."""
+        if self.ptxt_space <= 2 or self.intFactor == other.intFactor:
+            return other
+        pr = self.ptxt_space
+        lam = balanced_int(other.intFactor * inv_mod(self.intFactor, pr), pr)
+        # scale self by lam so factors match other's... wait: scaling self by
+        # lam multiplies its factor by lam: F1*lam ≡ F2 (mod pr).
+        scaled = [(h, rt_mul_scalar(self.ctx, d, lam % pr, self.k, self.special))
+                  for h, d in self.parts]
+        self.parts = scaled
+        self.noise += math.log2(max(abs(lam), 1))
+        self.intFactor = other.intFactor
+        return other
+
+    def add(self, other: "Ctxt", sub: bool = False):
+        a, b = self, other.copy()
+        # equalize prime sets (drop to the smaller)
+        tk = min(a.k, b.k)
+        tsp = a.special and b.special
+        if (a.k, a.special) != (tk, tsp):
+            a.mod_down_to(tk, tsp)
+        if (b.k, b.special) != (tk, tsp):
+            b.mod_down_to(tk, tsp)
+        if a.ptxt_space != b.ptxt_space:
+            g = math.gcd(a.ptxt_space, b.ptxt_space)
+            a.ptxt_space = b.ptxt_space = g
+        a._match_factors(b)
+        for h, d in b.parts:
+            if sub:
+                d = rt_neg(a.ctx, d, a.k, a.special)
+            i = a._find_part(h)
+            if i >= 0:
+                a.parts[i] = (h, rt_add(a.ctx, a.parts[i][1], d, a.k, a.special))
+            else:
+                a.parts.append((h, d))
+        a.noise = log2_add(a.noise, b.noise)
+        return a
+
+    def sub(self, other: "Ctxt"):
+        return self.add(other, sub=True)
+
+    def add_constant_poly(self, coeffs: np.ndarray):
+        """Add an encoded plaintext polynomial (BGV; reference
+        Ctxt::addConstant).  coeffs: int vector mod p^r, deg < phi(m)."""
+        ctx, pr = self.ctx, self.ptxt_space
+        Q = 1
+        for q in ctx.primes_of(self.k, self.special):
+            Q *= int(q)
+        f = (Q % pr) * self.intFactor % pr
+        fixed = np.array([balanced_int(int(c) * f % pr, pr) for c in coeffs],
+                         dtype=np.int64)
+        pt = dcrt.small_coeffs_to_rt(ctx, fixed, self.k, self.special)
+        i = self._find_part(SKHandle(0, 1, 0))
+        self.parts[i] = (self.parts[i][0],
+                         rt_add(ctx, self.parts[i][1], pt, self.k, self.special))
+        self.noise = log2_add(self.noise, ctx.noise_mod(pr))
+
+    def mul_constant_poly(self, coeffs: np.ndarray, mag: float | None = None):
+        """Multiply by an encoded plaintext poly (balanced lift mod p^r)."""
+        ctx, pr = self.ctx, self.ptxt_space
+        fixed = np.array([balanced_int(int(c), pr) for c in coeffs],
+                         dtype=np.int64)
+        pt = dcrt.small_coeffs_to_rt(ctx, fixed, self.k, self.special)
+        self.parts = [(h, rt_mul(ctx, d, pt, self.k, self.special))
+                      for h, d in self.parts]
+        bound = mag if mag is not None else ctx.noise_mod(pr)
+        self.noise += bound
+
+    # -------------------------------------------------------- multiplication
+    def tensor(self, other: "Ctxt"):
+        """Tensor product (reference Ctxt::tensorProduct, Ctxt.cpp:1563)."""
+        ctx = self.ctx
+        assert (self.k, self.special) == (other.k, other.special)
+        k, sp = self.k, self.special
+        pr = math.gcd(self.ptxt_space, other.ptxt_space)
+        out_parts: list = []
+
+        def add_part(h, d):
+            for i, (h2, d2) in enumerate(out_parts):
+                if h2 == h:
+                    out_parts[i] = (h2, rt_add(ctx, d2, d, k, sp))
+                    return
+            out_parts.append((h, d))
+
+        for h1, d1 in self.parts:
+            for h2, d2 in other.parts:
+                h = h1.mul(h2)
+                assert h is not None, "incompatible part handles in tensor"
+                add_part(h, rt_mul(ctx, d1, d2, k, sp))
+        intF = 1
+        if pr > 2:
+            Q = 1
+            for q in ctx.primes_of(k, sp):
+                Q *= int(q)
+            intF = self.intFactor * other.intFactor % pr
+            intF = intF * (Q % pr) % pr
+        return Ctxt(ctx, self.pubkey, out_parts, k, sp, pr,
+                    self.noise + other.noise, intF)
+
+    def mul_low_level(self, other: "Ctxt") -> "Ctxt":
+        """multLowLvl: equalize prime sets near the natural level, tensor."""
+        a, b = self.copy(), other.copy()
+        a.drop_special_primes()
+        b.drop_special_primes()
+        tk = min(a.natural_k(), b.natural_k())
+        a.bring_to_k(tk)
+        b.bring_to_k(tk)
+        return a.tensor(b)
+
+    def multiply(self, other: "Ctxt", sk: SecKey) -> "Ctxt":
+        out = self.mul_low_level(other)
+        out.relinearize(sk)
+        return out
+
+    def square(self, sk: SecKey) -> "Ctxt":
+        return self.multiply(self, sk)
+
+    # ------------------------------------------------------- key switching
+    def relinearize(self, sk: SecKey):
+        """Reference Ctxt::reLinearize (Ctxt.cpp:718-786): mod-up by special
+        primes, key-switch all non-canonical parts, leave specials in."""
+        ctx = self.ctx
+        if all(h.is_one or h.is_base() for h, _ in self.parts):
+            return self
+        self.drop_special_primes()
+        k = self.k
+        logP = ctx.log2_special()
+        new_noise = self.noise + logP
+        acc: dict = {}
+
+        def add_acc(h, d):
+            if h in acc:
+                acc[h] = rt_add(ctx, acc[h], d, k, True)
+            else:
+                acc[h] = d
+
+        ks_noise = NEG_INF
+        for h, d in self.parts:
+            if h.is_one or h.is_base():
+                add_acc(h, rt_add_special_and_scale(ctx, d, k))
+                continue
+            W = sk.gen_ks_matrix(h)
+            if W.ptxt_space > 1 and self.ptxt_space > 1:
+                g = math.gcd(W.ptxt_space, self.ptxt_space)
+                self.ptxt_space = g
+            digits, digit_noise = rt_break_into_digits(ctx, d, k)
+            rows = np.array(ctx.rows_of(k, True))
+            for j, Rj in enumerate(digits):
+                bj = W.b[j][rows, :]
+                aj = W.a[j][rows, :]
+                add_acc(SKHandle(0, 1, 0), rt_mul(ctx, Rj, bj, k, True))
+                add_acc(SKHandle(1, 1, 0), rt_mul(ctx, Rj, aj, k, True))
+            ks_noise = log2_add(ks_noise, digit_noise + W.noise)
+        self.parts = [(h, d) for h, d in acc.items()]
+        self.k, self.special = k, True
+        self.noise = log2_add(new_noise, ks_noise)
+        return self
+
+    # -------------------------------------------------------- automorphism
+    def automorph(self, kexp: int):
+        """X -> X^kexp on every part (reference Ctxt::automorph)."""
+        ctx = self.ctx
+        ordm = 2 * ctx.n_eval if ctx.pal.pow2 else ctx.m
+        kexp %= ordm
+        new_parts = []
+        for h, d in self.parts:
+            nh = h if h.is_one else SKHandle(h.powS, h.powX * kexp % ordm,
+                                             h.keyID)
+            new_parts.append((nh, rt_automorph(ctx, d, kexp)))
+        self.parts = new_parts
+        return self
+
+    def smart_automorph(self, kexp: int, sk: SecKey):
+        """automorph + immediate key switch back to (1, s)."""
+        self.relinearize(sk)   # ensure canonical (1, s) form first
+        self.automorph(kexp)
+        self.relinearize(sk)
+        return self
+
+    def frobenius(self, j: int, sk: SecKey):
+        """X -> X^{p^j} (reference Ctxt::frobeniusAutomorph)."""
+        val = pow(self.ctx.p, j, self.ctx.m)
+        return self.smart_automorph(val, sk)

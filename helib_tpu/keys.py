@@ -1,0 +1,249 @@
+"""Secret/public keys, RLWE encryption, key-switching matrices.
+
+TPU-native equivalent of reference keys.cpp / keySwitching.cpp
+(/root/reference/src/keys.cpp:633-1422, src/keySwitching.cpp):
+
+  * SecKey: small secret s; decrypt = sum parts[i] * s^{r_i}(X^{t_i}),
+    host CRT + balanced reduction at the boundary (keys.cpp:1327-1422).
+  * PubKey: an encryption of zero (c0, c1) = (-a*s + p*e, a) plus hybrid
+    key-switching matrices: column j of W[s'->s] is
+        b_j = -a_j*s + p*e_j + P*B_j*s',   a_j uniform,
+    with P = prod(special primes), B_j = prod of full digit products < j
+    (design comment keySwitching.h:33-88).
+  * BGV plaintext invariant: [<c, s>]_Q = p*e + m*intFactor*[Q]_p; fresh
+    encryption embeds ptxt * [Q mod p^r] balanced (keys.cpp:726-729), and the
+    invariant is preserved by mod-switching without intFactor updates.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from .context import Context, log2_add, log2_sum
+from . import dcrt
+from .dcrt import (rt_add, rt_sub, rt_mul, rt_neg, rt_mul_scalar,
+                   sample_small, sample_gaussian, sample_hwt,
+                   sample_uniform_residues, small_coeffs_to_rt,
+                   rt_automorph)
+from .nt.numbth import inv_mod
+from .nt.cyclotomic import cyclotomic_poly
+
+
+@dataclass(frozen=True)
+class SKHandle:
+    """Which secret-key monomial s^powS(X^powX) a part multiplies
+    (reference Ctxt.h:82-141)."""
+    powS: int = 0
+    powX: int = 1
+    keyID: int = 0
+
+    @property
+    def is_one(self) -> bool:
+        return self.powS == 0
+
+    def is_base(self, keyID: int = 0) -> bool:
+        return self.powS == 1 and self.powX == 1 and self.keyID == keyID
+
+    def mul(self, other: "SKHandle"):
+        """Product handle or None if incompatible (reference Ctxt.h:155-186)."""
+        if self.is_one:
+            return other
+        if other.is_one:
+            return self
+        if self.keyID != other.keyID or self.powX != other.powX:
+            return None
+        return SKHandle(self.powS + other.powS, self.powX, self.keyID)
+
+
+@dataclass
+class KSMatrix:
+    """Hybrid key-switch matrix W[s'(X^powX)^powS -> s]."""
+    from_handle: SKHandle
+    ptxt_space: int
+    b: list            # per column: [L+S, N] eval tensors
+    a: list
+    noise: float       # log2 bound on |p*e_j| per column
+
+
+class SecKey:
+    def __init__(self, ctx: Context, seed: int = 0, hwt: int = 0):
+        self.ctx = ctx
+        self.rng = np.random.default_rng(seed)
+        if hwt > 0:
+            coeffs, bound = sample_hwt(ctx, self.rng, hwt)
+        else:
+            coeffs, bound = sample_small(ctx, self.rng)
+        self.s_coeffs = coeffs
+        self.sk_bound = bound                       # log2 canonical bound on s
+        # secret key resident on ALL rows (ctxt + special)
+        self.s_full = small_coeffs_to_rt(ctx, coeffs, ctx.L, True)
+        self.matrices: dict = {}
+        self.pubkey: "PubKey" | None = None
+
+    # -- raw RLWE instance over all rows ----------------------------------
+    def _rlwe_all_rows(self, p_mult: int):
+        """(b, a, log2 noise of p*e) with b = -a*s + p*e over all primes."""
+        ctx = self.ctx
+        a = sample_uniform_residues(ctx, self.rng, ctx.L, True)
+        e_coeffs, _ = sample_gaussian(ctx, self.rng)
+        e = small_coeffs_to_rt(ctx, e_coeffs, ctx.L, True)
+        pe = rt_mul_scalar(ctx, e, p_mult, ctx.L, True) if p_mult != 1 else e
+        b = rt_sub(ctx, pe, rt_mul(ctx, a, self.s_full, ctx.L, True),
+                   ctx.L, True)
+        noise = math.log2(max(p_mult, 1)) + ctx.noise_gaussian()
+        return b, a, noise
+
+    # -- key-switching matrix generation (reference keys.cpp:1159-1246) ---
+    def gen_ks_matrix(self, from_handle: SKHandle,
+                      ptxt_space: int | None = None) -> KSMatrix:
+        key = (from_handle.powS, from_handle.powX)
+        if key in self.matrices:
+            return self.matrices[key]
+        ctx = self.ctx
+        p = 1 if ctx.scheme == "ckks" else (ptxt_space or ctx.ptxt_space)
+        # fromKey = s^powS(X^powX) on all rows
+        fk = self.s_full
+        if from_handle.powX != 1:
+            fk = rt_automorph(ctx, fk, from_handle.powX)
+        if from_handle.powS > 1:
+            acc = fk
+            for _ in range(from_handle.powS - 1):
+                acc = rt_mul(ctx, acc, fk, ctx.L, True)
+            fk = acc
+        P = ctx.prod_special()
+        Bj = 1
+        bs, as_, noise = [], [], 0.0
+        for (s, e) in ctx.digits:
+            b, a, col_noise = self._rlwe_all_rows(p)
+            add = rt_mul_scalar(ctx, fk, P * Bj, ctx.L, True)
+            b = rt_add(ctx, b, add, ctx.L, True)
+            bs.append(b)
+            as_.append(a)
+            noise = col_noise  # same bound every column
+            Dfull = 1
+            for q in ctx.qs[s:e]:
+                Dfull *= int(q)
+            Bj *= Dfull
+        W = KSMatrix(from_handle, p, bs, as_, noise)
+        self.matrices[key] = W
+        return W
+
+    # -- decryption (reference keys.cpp:1327-1422) ------------------------
+    def decrypt_raw(self, ctxt) -> np.ndarray:
+        """<c, s-monomials> -> balanced integer coefficient vector (host)."""
+        ctx = self.ctx
+        k, special = ctxt.k, ctxt.special
+        rows = ctx.rows_of(k, special)
+        idx = np.array(rows)
+        acc = None
+        for handle, data in ctxt.parts:
+            term = data
+            if not handle.is_one:
+                sk = self.s_full[idx, :]
+                if handle.powX != 1:
+                    sk = rt_automorph(ctx, sk, handle.powX)
+                pw = sk
+                for _ in range(handle.powS - 1):
+                    pw = rt_mul(ctx, pw, sk, k, special)
+                term = rt_mul(ctx, data, pw, k, special)
+            acc = term if acc is None else rt_add(ctx, acc, term, k, special)
+        coeff_res = np.asarray(ctx.inv_ntt(acc, rows))
+        return dcrt.crt_reconstruct(ctx, coeff_res, rows, balanced=True)
+
+    def decrypt_bgv(self, ctxt) -> np.ndarray:
+        """Full BGV decrypt -> plaintext poly coeffs mod p^r, degree < phi(m)."""
+        ctx = self.ctx
+        pr = ctx.ptxt_space
+        vals = self.decrypt_raw(ctxt)               # balanced ints, len N
+        vals_pr = np.array([int(v) % pr for v in vals], dtype=np.int64)
+        red = reduce_mod_phim(vals_pr, ctx, pr)
+        Q = 1
+        for q in ctx.primes_of(ctxt.k, ctxt.special):
+            Q *= int(q)
+        f = (Q % pr) * ctxt.intFactor % pr
+        finv = inv_mod(f, pr)
+        return (red * finv) % pr
+
+    def noise_of(self, ctxt) -> float:
+        """log2 of actual max |coefficient| of <c, s> (debug/checkNoise)."""
+        vals = self.decrypt_raw(ctxt)
+        mx = max(abs(int(v)) for v in vals)
+        return math.log2(mx) if mx else float("-inf")
+
+
+def reduce_mod_phim(coeffs: np.ndarray, ctx: Context, modulus: int) -> np.ndarray:
+    """Reduce a poly of degree < N mod Phi_m(X) mod `modulus` (host).
+
+    For pow2 m the representation is already mod Phi_m = X^N+1.  For odd m
+    the mod-(X^m-1) representative is divided by Phi_m here — the one place
+    the X^m-1 embedding is projected back (see ops/ntt.py design note)."""
+    if ctx.pal.pow2:
+        return coeffs % modulus
+    m, phi = ctx.m, ctx.phi_m
+    phim = np.array([int(c) % modulus for c in cyclotomic_poly(m)],
+                    dtype=np.int64)
+    work = coeffs.astype(np.int64) % modulus
+    work = work.copy()
+    # synthetic division: leading coeff of Phi_m is 1
+    for i in range(len(work) - 1, phi - 1, -1):
+        c = work[i] % modulus
+        if c:
+            work[i - phi:i + 1] = (work[i - phi:i + 1]
+                                   - c * phim) % modulus
+    return work[:phi] % modulus
+
+
+class PubKey:
+    def __init__(self, sk: SecKey):
+        self.ctx = ctx = sk.ctx
+        self.sk = sk          # only for matrix generation convenience
+        sk.pubkey = self
+        p = ctx.ptxt_space if ctx.scheme == "bgv" else 1
+        # encryption of zero over ctxt primes only (reference keys.cpp:667)
+        b, a, noise = sk._rlwe_all_rows(p)
+        idx = np.arange(ctx.L)
+        self.enc_key = [(SKHandle(0, 1, 0), b[idx, :]),
+                        (SKHandle(1, 1, 0), a[idx, :])]
+        self.enc_noise = noise
+        self.sk_bound = sk.sk_bound
+
+    def encrypt_bgv(self, ptxt_coeffs: np.ndarray, rng: np.random.Generator):
+        """Public-key BGV encryption (reference keys.cpp:633-761).
+        ptxt_coeffs: int coeffs (deg < phi(m)) mod p^r.  Returns a Ctxt."""
+        from .ctxt import Ctxt
+        ctx = self.ctx
+        pr = ctx.ptxt_space
+        k, special = ctx.L, False
+        r_coeffs, r_bound = sample_small(ctx, rng)
+        r = small_coeffs_to_rt(ctx, r_coeffs, k, special)
+        noise = r_bound + self.enc_noise   # r_bound * pubkey noise (log2 mult)
+        parts = []
+        for i, (handle, data) in enumerate(self.enc_key):
+            part = rt_mul(ctx, data, r, k, special)
+            e_coeffs, _ = sample_gaussian(ctx, rng)
+            pe = small_coeffs_to_rt(ctx, e_coeffs * pr, k, special)
+            part = rt_add(ctx, part, pe, k, special)
+            e_bound = math.log2(pr) + ctx.noise_gaussian()
+            if i == 1:
+                e_bound += self.sk_bound
+            noise = log2_add(noise, e_bound)
+            parts.append((handle, part))
+        # ptxt * [Q]_p, balanced mod p^r
+        Q = ctx.prod_qs(k)
+        qmodp = Q % pr
+        fixed = np.array([balanced_int(int(c) * qmodp % pr, pr)
+                          for c in ptxt_coeffs], dtype=np.int64)
+        pt = small_coeffs_to_rt(ctx, fixed, k, special)
+        parts[0] = (parts[0][0], rt_add(ctx, parts[0][1], pt, k, special))
+        noise = log2_add(noise, ctx.noise_mod(pr))
+        return Ctxt(ctx=ctx, pubkey=self, parts=parts, k=k, special=special,
+                    ptxt_space=pr, noise=noise, intFactor=1)
+
+
+def balanced_int(v: int, m: int) -> int:
+    v %= m
+    return v - m if v > m // 2 else v
