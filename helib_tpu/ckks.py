@@ -1,0 +1,157 @@
+"""CKKS approximate-numbers scheme: encoding, encryption, slot view.
+
+TPU-native equivalent of reference EaCx/Ptxt<CKKS>
+(/root/reference/src/EaCx.cpp, EncryptedArray.h:879+): complex slots via the
+canonical embedding on power-of-2 cyclotomics, explicit scaling factors, and
+rotations as automorphisms by powers of the slot generator.
+
+Slot ordering: slot j <-> evaluation at zeta^{5^j mod m}, j = 0..nslots-1
+(nslots = phi(m)/2); the conjugate evaluations at -5^j carry conj(z_j) so the
+coefficient vector is real.  Rotation by one slot = automorphism X -> X^{5^-1}.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import numpy as np
+
+from .context import Context, log2_add
+from .keys import SecKey, PubKey, SKHandle
+from .ctxt import Ctxt, frac_log2
+from . import dcrt
+from .dcrt import rt_mul, rt_add, sample_small, sample_gaussian, \
+    small_coeffs_to_rt
+from .nt.numbth import inv_mod
+
+
+class EncryptedArrayCKKS:
+    def __init__(self, ctx: Context, scale_bits: int | None = None):
+        assert ctx.scheme == "ckks" and ctx.pal.pow2
+        self.ctx = ctx
+        self.N = ctx.n_eval                       # phi(m)
+        self.m = ctx.m
+        self.nslots = self.N // 2
+        self.scale_bits = scale_bits if scale_bits is not None else ctx.r
+        # slot j <-> exponent e_j = 5^j mod m (odd); DFT index t_j=(e_j-1)/2
+        e = 1
+        exps = []
+        for _ in range(self.nslots):
+            e = e * 5 % self.m
+            exps.append(e)
+        # start at 5^0 = 1
+        self.slot_exp = np.array([1] + exps[:-1], dtype=np.int64)
+        self.dft_idx = (self.slot_exp - 1) // 2
+
+    # ---------------------------------------------------------- embedding
+    def embed(self, coeffs: np.ndarray) -> np.ndarray:
+        """Real coeff vector [N] -> complex slot values [nslots]
+        (evaluate at zeta^{e_j}, zeta = exp(i*pi/N))."""
+        N = self.N
+        zeta = np.exp(1j * np.pi / N)
+        b = coeffs.astype(np.complex128) * zeta ** np.arange(N)
+        # a(zeta^{2t+1}) = sum_l b_l e^{2pi i t l / N} = iDFT-style
+        F = np.fft.ifft(b) * N          # F[t] = sum_l b_l e^{+2pi i tl/N}
+        return F[self.dft_idx]
+
+    def unembed(self, slots: np.ndarray) -> np.ndarray:
+        """Complex slots [nslots] -> real coeff vector [N] (exact inverse of
+        embed on the conjugate-symmetric subspace)."""
+        N = self.N
+        F = np.zeros(N, dtype=np.complex128)
+        F[self.dft_idx] = np.asarray(slots, dtype=np.complex128)
+        conj_idx = (N - 1) - self.dft_idx      # exponent m - e_j = (2t'+1)
+        F[conj_idx] = np.conj(slots)
+        b = np.fft.fft(F) / N                  # inverse of embed's transform
+        zeta = np.exp(1j * np.pi / N)
+        coeffs = b * zeta ** (-np.arange(N))
+        return np.real(coeffs)
+
+    # ------------------------------------------------------------ encode
+    def encode(self, slots, scale: int | None = None):
+        """-> (int coeffs [N], scale, mag, rounding-noise log2)."""
+        z = np.zeros(self.nslots, dtype=np.complex128)
+        s = np.asarray(slots, dtype=np.complex128).ravel()
+        z[:len(s)] = s
+        scale = scale if scale is not None else (1 << self.scale_bits)
+        coeffs = self.unembed(z) * scale
+        rounded = np.round(coeffs).astype(object)
+        mag = float(np.max(np.abs(z))) if len(s) else 0.0
+        # rounding error <= 1/2 per coeff -> canonical bound
+        err = self.ctx.noise_uniform(math.log2(0.5))
+        return rounded, scale, max(mag, 2.0 ** -40), err
+
+    def decode(self, coeffs, scale: Fraction) -> np.ndarray:
+        vals = np.array([float(Fraction(int(c)) / scale) for c in coeffs],
+                        dtype=np.float64)
+        return self.embed(vals)
+
+    # ----------------------------------------------------------- encrypt
+    def encrypt(self, slots, pubkey: PubKey, rng, scale: int | None = None):
+        ctx = self.ctx
+        coeffs, scale_v, mag, enc_err = self.encode(slots, scale)
+        k, special = ctx.L, False
+        r_coeffs, r_bound = sample_small(ctx, rng)
+        r = small_coeffs_to_rt(ctx, r_coeffs, k, special)
+        noise = r_bound + pubkey.enc_noise
+        parts = []
+        for i, (handle, data) in enumerate(pubkey.enc_key):
+            part = rt_mul(ctx, data, r, k, special)
+            e_coeffs, e_bound = sample_gaussian(ctx, rng)
+            pe = small_coeffs_to_rt(ctx, e_coeffs, k, special)
+            part = rt_add(ctx, part, pe, k, special)
+            if i == 1:
+                e_bound += pubkey.sk_bound
+            noise = log2_add(noise, e_bound)
+            parts.append((handle, part))
+        pt = dcrt.small_coeffs_to_rt(ctx, np.array([int(c) for c in coeffs],
+                                                   dtype=np.int64), k, special)
+        parts[0] = (parts[0][0], rt_add(ctx, parts[0][1], pt, k, special))
+        noise = log2_add(noise, enc_err)
+        ct = Ctxt(ctx=ctx, pubkey=pubkey, parts=parts, k=k, special=special,
+                  ptxt_space=1, noise=noise, intFactor=1)
+        ct.ratFactor = Fraction(scale_v)
+        ct.ptxtMag = mag
+        return ct
+
+    def decrypt(self, ctxt: Ctxt, sk: SecKey) -> np.ndarray:
+        vals = sk.decrypt_raw(ctxt)          # balanced ints
+        return self.decode(vals, Fraction(ctxt.ratFactor))
+
+    # ---------------------------------------------------------- rotations
+    def rotate(self, ctxt: Ctxt, amt: int, sk: SecKey):
+        """Rotate slots by amt (slot j content -> slot j+amt)."""
+        amt %= self.nslots
+        if amt == 0:
+            return ctxt
+        k = pow(inv_mod(5, self.m), amt, self.m)
+        return ctxt.smart_automorph(k, sk)
+
+    def mul_const(self, ctxt: Ctxt, values, scale: int | None = None):
+        """Multiply by encoded constant slots (reference MatMul_CKKS const
+        path)."""
+        coeffs, scale_v, mag, err = self.encode(values, scale)
+        pt = dcrt.small_coeffs_to_rt(
+            self.ctx, np.array([int(c) for c in coeffs], dtype=np.int64),
+            ctxt.k, ctxt.special)
+        out = ctxt.copy()
+        out.parts = [(h, rt_mul(self.ctx, d, pt, out.k, out.special))
+                     for h, d in out.parts]
+        # ctxt*(enc+eps) = ctxt*enc + ctxt*eps:
+        #   noise_c*|enc| + (mag_c*f_c + noise_c)*eps
+        cbound = math.log2(mag) + math.log2(scale_v)
+        val_bound = log2_add(math.log2(max(ctxt.ptxtMag, 2.0 ** -40))
+                             + frac_log2(Fraction(ctxt.ratFactor)), ctxt.noise)
+        out.noise = log2_add(ctxt.noise + cbound, err + val_bound)
+        out.ratFactor = Fraction(ctxt.ratFactor) * scale_v
+        out.ptxtMag = ctxt.ptxtMag * mag
+        return out
+
+    def rescale(self, ctxt: Ctxt):
+        """Drop to the natural level (divides the scale)."""
+        ctxt.drop_special_primes()
+        nk = ctxt.natural_k()
+        if nk < ctxt.k:
+            ctxt.mod_down_to(nk, False)
+        return ctxt

@@ -29,6 +29,16 @@ SAFETY_BITS = 1.0   # reference `safety` margin (log 2) in interval selection
 SLACK_BITS = 4.0
 
 
+def frac_log2(f) -> float:
+    """log2 of a positive Fraction/int without float overflow."""
+    from fractions import Fraction
+    f = Fraction(f)
+    n, d = f.numerator, f.denominator
+    return ((n.bit_length() - 1) + math.log2(n / (1 << (n.bit_length() - 1)))
+            - ((d.bit_length() - 1)
+               + math.log2(d / (1 << (d.bit_length() - 1)))))
+
+
 @dataclass
 class Ctxt:
     ctx: Context
@@ -39,11 +49,18 @@ class Ctxt:
     ptxt_space: int
     noise: float                # log2 canonical-embedding noise bound
     intFactor: int = 1
+    ratFactor: object = 1       # CKKS scale (exact Fraction/int)
+    ptxtMag: float = 1.0        # CKKS bound on |plaintext| (linear)
 
     # ------------------------------------------------------------------ utils
     def copy(self) -> "Ctxt":
         return Ctxt(self.ctx, self.pubkey, list(self.parts), self.k,
-                    self.special, self.ptxt_space, self.noise, self.intFactor)
+                    self.special, self.ptxt_space, self.noise, self.intFactor,
+                    self.ratFactor, self.ptxtMag)
+
+    @property
+    def is_ckks(self) -> bool:
+        return self.ctx.scheme == "ckks"
 
     def log2_modulus(self) -> float:
         v = self.ctx.log2_q(self.k)
@@ -73,7 +90,8 @@ class Ctxt:
                 acc = log2_add(acc, 0.0)
             else:
                 acc = log2_add(acc, h.powS * self.pubkey.sk_bound)
-        rounding = ctx.noise_uniform(math.log2(self.ptxt_space / 2.0))
+        ps = 1 if self.is_ckks else self.ptxt_space
+        rounding = ctx.noise_uniform(math.log2(ps / 2.0))
         return acc + rounding
 
     # ------------------------------------------------------- mod switching
@@ -85,6 +103,11 @@ class Ctxt:
         added = self.mod_switch_added_noise()
         drop_bits = self.log2_modulus()
         ps = self.ptxt_space if self.ctx.scheme == "bgv" else 1
+        old_rows = set(self.ctx.rows_of(self.k, self.special))
+        new_rows = set(self.ctx.rows_of(new_k, new_special))
+        D = 1
+        for ridx in old_rows - new_rows:
+            D *= int(self.ctx.all_q[ridx])
         new_parts = []
         for h, data in self.parts:
             new_parts.append((h, rt_scale_down(
@@ -93,6 +116,9 @@ class Ctxt:
         self.k, self.special = new_k, new_special
         drop_bits -= self.log2_modulus()
         self.noise = log2_add(self.noise - drop_bits, added)
+        if self.is_ckks:
+            from fractions import Fraction
+            self.ratFactor = Fraction(self.ratFactor) / D
 
     def drop_special_primes(self):
         if self.special:
@@ -104,13 +130,20 @@ class Ctxt:
             self.mod_down_to(new_k, False)
 
     def natural_k(self) -> int:
-        """Largest prefix k' with log2_q(k') <= capacity-ish target
-        (role of reference naturalPrimeSet/computeIntervalForMul)."""
-        hi = (self.capacity() + self.mod_switch_added_noise()
-              + (self.ctx.log2_special() if self.special else 0.0)
-              - SAFETY_BITS)
+        """Prefix k' targeting log2(q') ≈ capacity + modswitch-added-noise
+        (role of reference naturalPrimeSet/computeIntervalForMul): for BGV
+        round down (slack below), for CKKS round up (keep accuracy)."""
+        target = (self.capacity() + self.mod_switch_added_noise()
+                  + (self.ctx.log2_special() if self.special else 0.0))
+        if self.is_ckks:
+            target += SAFETY_BITS
+            k = self.k
+            while k > 1 and self.ctx.log2_q(k - 1) >= target:
+                k -= 1
+            return k
+        target -= SAFETY_BITS
         k = self.k
-        while k > 1 and self.ctx.log2_q(k) > hi:
+        while k > 1 and self.ctx.log2_q(k) > target:
             k -= 1
         return k
 
@@ -118,7 +151,8 @@ class Ctxt:
     def _match_factors(self, other: "Ctxt"):
         """Equalize intFactor by scaling the smaller-noise ctxt (reference
         addCtxt intFactor logic)."""
-        if self.ptxt_space <= 2 or self.intFactor == other.intFactor:
+        if (self.is_ckks or self.ptxt_space <= 2
+                or self.intFactor == other.intFactor):
             return other
         pr = self.ptxt_space
         lam = balanced_int(other.intFactor * inv_mod(self.intFactor, pr), pr)
@@ -140,7 +174,9 @@ class Ctxt:
             a.mod_down_to(tk, tsp)
         if (b.k, b.special) != (tk, tsp):
             b.mod_down_to(tk, tsp)
-        if a.ptxt_space != b.ptxt_space:
+        if a.is_ckks:
+            _align_ckks_factors(a, b)
+        elif a.ptxt_space != b.ptxt_space:
             g = math.gcd(a.ptxt_space, b.ptxt_space)
             a.ptxt_space = b.ptxt_space = g
         a._match_factors(b)
@@ -207,6 +243,19 @@ class Ctxt:
                 assert h is not None, "incompatible part handles in tensor"
                 add_part(h, rt_mul(ctx, d1, d2, k, sp))
         intF = 1
+        if self.is_ckks:
+            # reference Ctxt.cpp:1599-1606
+            from fractions import Fraction
+            f1, f2 = Fraction(self.ratFactor), Fraction(other.ratFactor)
+            m1, m2 = self.ptxtMag, other.ptxtMag
+            noise = log2_sum([
+                self.noise + math.log2(m2) + frac_log2(f2) if m2 > 0 else NEG_INF,
+                other.noise + math.log2(m1) + frac_log2(f1) if m1 > 0 else NEG_INF,
+                self.noise + other.noise])
+            out = Ctxt(ctx, self.pubkey, out_parts, k, sp, 1, noise, 1)
+            out.ratFactor = f1 * f2
+            out.ptxtMag = m1 * m2
+            return out
         if pr > 2:
             Q = 1
             for q in ctx.primes_of(k, sp):
@@ -273,6 +322,9 @@ class Ctxt:
         self.parts = [(h, d) for h, d in acc.items()]
         self.k, self.special = k, True
         self.noise = log2_add(new_noise, ks_noise)
+        if self.is_ckks:
+            from fractions import Fraction
+            self.ratFactor = Fraction(self.ratFactor) * ctx.prod_special()
         return self
 
     # -------------------------------------------------------- automorphism
@@ -300,3 +352,35 @@ class Ctxt:
         """X -> X^{p^j} (reference Ctxt::frobeniusAutomorph)."""
         val = pow(self.ctx.p, j, self.ctx.m)
         return self.smart_automorph(val, sk)
+
+    def conjugate(self, sk: SecKey):
+        """CKKS complex conjugation = X -> X^{-1} (m-1)."""
+        return self.smart_automorph(self.ctx.m - 1, sk)
+
+
+def _align_ckks_factors(a: Ctxt, b: Ctxt):
+    """Equalize CKKS rational factors before addition (role of reference
+    Ctxt.cpp:1212-1358).  Scales the smaller-factor ciphertext by the nearest
+    integer ratio; the residual factor mismatch is charged to the noise."""
+    from fractions import Fraction
+    fa, fb = Fraction(a.ratFactor), Fraction(b.ratFactor)
+    if fa == fb:
+        return
+    if fa < fb:
+        _align_ckks_factors(b, a)
+        # after recursion factors are equal; mirror into a
+        return
+    # fa > fb: scale b by n = round(fa/fb)
+    ratio = fa / fb
+    n = int(ratio + Fraction(1, 2))
+    if n > 1:
+        b.parts = [(h, rt_mul_scalar(b.ctx, d, n, b.k, b.special))
+                   for h, d in b.parts]
+        b.noise += math.log2(n)
+        fb = fb * n
+    # residual mismatch -> extra noise on b: value m*(fa - fb)
+    gap = abs(fa - fb)
+    if gap > 0 and b.ptxtMag > 0:
+        b.noise = log2_add(b.noise, math.log2(b.ptxtMag) + frac_log2(gap))
+    b.ratFactor = fa
+    a.ratFactor = fa

@@ -1,0 +1,105 @@
+"""CKKS tests: precision-bounded equality vs numpy complex oracle
+(mirrors reference tests/TestCKKS.cpp / GTestApproxNums)."""
+
+import numpy as np
+import pytest
+
+from helib_tpu.context import Context
+from helib_tpu.keys import SecKey, PubKey
+from helib_tpu.ckks import EncryptedArrayCKKS
+
+
+@pytest.fixture(scope="module", params=[
+    dict(m=256, r=30, bits=240, c=3),
+    dict(m=1024, r=35, bits=300, c=3),
+])
+def setup(request):
+    p = request.param
+    ctx = Context(m=p["m"], p=-1, r=p["r"], bits=p["bits"], c=p["c"],
+                  scheme="ckks")
+    sk = SecKey(ctx, seed=9)
+    pk = PubKey(sk)
+    ea = EncryptedArrayCKKS(ctx)
+    rng = np.random.default_rng(13)
+    return ctx, sk, pk, ea, rng
+
+
+def rand_slots(ea, rng):
+    return (rng.uniform(-1, 1, ea.nslots) + 1j * rng.uniform(-1, 1, ea.nslots))
+
+
+def dist(a, b):
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def test_embed_roundtrip(setup):
+    ctx, sk, pk, ea, rng = setup
+    z = rand_slots(ea, rng)
+    c = ea.unembed(z)
+    z2 = ea.embed(c)
+    assert dist(z, z2) < 1e-9
+
+
+def test_encrypt_decrypt(setup):
+    ctx, sk, pk, ea, rng = setup
+    z = rand_slots(ea, rng)
+    ct = ea.encrypt(z, pk, rng)
+    assert ct.is_correct()
+    z2 = ea.decrypt(ct, sk)
+    assert dist(z, z2) < 1e-4, dist(z, z2)
+
+
+def test_add(setup):
+    ctx, sk, pk, ea, rng = setup
+    z1, z2 = rand_slots(ea, rng), rand_slots(ea, rng)
+    c1, c2 = ea.encrypt(z1, pk, rng), ea.encrypt(z2, pk, rng)
+    c3 = c1.copy().add(c2)
+    assert dist(ea.decrypt(c3, sk), z1 + z2) < 1e-4
+
+
+def test_mul(setup):
+    ctx, sk, pk, ea, rng = setup
+    z1, z2 = rand_slots(ea, rng), rand_slots(ea, rng)
+    c1, c2 = ea.encrypt(z1, pk, rng), ea.encrypt(z2, pk, rng)
+    c3 = c1.multiply(c2, sk)
+    assert c3.is_correct()
+    got = ea.decrypt(c3, sk)
+    assert dist(got, z1 * z2) < 1e-3, dist(got, z1 * z2)
+
+
+def test_mul_chain_with_rescale(setup):
+    ctx, sk, pk, ea, rng = setup
+    z = rand_slots(ea, rng) * 0.5
+    ct = ea.encrypt(z, pk, rng)
+    expect = z.copy()
+    for _ in range(3):
+        ct = ct.square(sk)
+        ea.rescale(ct)
+        expect = expect * expect
+        assert ct.is_correct(), ct.capacity()
+    assert dist(ea.decrypt(ct, sk), expect) < 1e-2
+
+
+def test_mul_const(setup):
+    ctx, sk, pk, ea, rng = setup
+    z1, z2 = rand_slots(ea, rng), rand_slots(ea, rng)
+    c1 = ea.encrypt(z1, pk, rng)
+    c2 = ea.mul_const(c1, z2)
+    assert dist(ea.decrypt(c2, sk), z1 * z2) < 1e-3
+
+
+def test_rotate(setup):
+    ctx, sk, pk, ea, rng = setup
+    z = rand_slots(ea, rng)
+    ct = ea.encrypt(z, pk, rng)
+    out = ea.rotate(ct, 1, sk)
+    got = ea.decrypt(out, sk)
+    assert dist(got, np.roll(z, 1)) < 1e-3
+
+
+def test_conjugate(setup):
+    ctx, sk, pk, ea, rng = setup
+    z = rand_slots(ea, rng)
+    ct = ea.encrypt(z, pk, rng)
+    ct.conjugate(sk)
+    assert dist(ea.decrypt(ct, sk), np.conj(z)) < 1e-3
