@@ -1,0 +1,141 @@
+"""Encrypted linear algebra: MatMul1D / MatMulFull with BSGS.
+
+TPU-native equivalent of reference matmul (/root/reference/src/matmul.cpp,
+include/helib/matmul.h:24-420):
+
+  * MatMul1D: a D x D matrix acting along one hypercube dimension on every
+    "column" of the slot hypercube; computed as
+        y = sum_{i<D} diag_i ⊙ rho^i(x)
+    where diag_i is the encoded i-th generalized diagonal and rho the 1D
+    rotation along the dimension.
+  * Baby-step/giant-step (reference matmul.cpp:888-973): i = g*j + l,
+        y = sum_j rho^{g*j}( sum_l diag'_{g j + l} ⊙ rho^l(x) ),
+    with the inner diagonals pre-rotated so only ~2*sqrt(D) rotations are
+    needed.  (Hoisting — sharing one digit decomposition across the baby-step
+    rotations — is a planned optimization of the same structure.)
+  * MatMulFull: composition of 1D multiplications down the dims
+    (reference matmul.cpp:2254).
+
+Matrices are given as callables get(i, j) -> int (mod p^r), mirroring the
+reference's virtual `MatMul1D::Dummy/get` interface.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+class MatMul1D:
+    """D x D cleartext matrix applied along hypercube dim (BGV)."""
+
+    def __init__(self, ea, dim: int, get):
+        self.ea = ea
+        self.dim = dim
+        self.get = get          # get(i, j) scalar mod p^r
+        self.D = ea.ctx.pal.orders[dim]
+
+    # -- diagonal encoding -------------------------------------------------
+    def _diag_slots(self, i: int, rotated_by: int = 0) -> np.ndarray:
+        """Encoded slot vector for the i-th generalized diagonal, optionally
+        pre-rotated by `rotated_by` along the dim (for BSGS giant steps).
+
+        y[e] = sum_i M[e][e-i] x[e-i]: the constant multiplying rho^i(x) at
+        output coord e is M[e][e-i]."""
+        ea, pal = self.ea, self.ea.ctx.pal
+        D = self.D
+        slots = np.zeros(ea.nslots, dtype=np.int64)
+        for s in range(ea.nslots):
+            e = pal.coords(s)[self.dim]
+            val = self.get(e, (e - i) % D)
+            slots[s] = int(val) % ea.pr
+        if rotated_by:
+            # pre-rotate the mask backwards along dim so that applying it
+            # before the giant rotation rho^{g} yields the same result
+            out = np.zeros_like(slots)
+            for s in range(ea.nslots):
+                cs = list(pal.coords(s))
+                cs[self.dim] = (cs[self.dim] + rotated_by) % D
+                out[s] = slots[pal.slot_index(cs)]
+            slots = out
+        return slots
+
+    # -- application -------------------------------------------------------
+    def apply(self, ctxt, sk, bsgs: bool | None = None):
+        D = self.D
+        ea = self.ea
+        if bsgs is None:
+            bsgs = D >= 8
+        if not bsgs:
+            acc = None
+            rotated = ctxt
+            for i in range(D):
+                if i > 0:
+                    rotated = ea.rotate_1d(ctxt.copy(), self.dim, i, sk)
+                sl = self._diag_slots(i)
+                if not sl.any():
+                    continue
+                t = rotated.copy()
+                t.mul_constant_poly(ea.encode(list(sl)))
+                acc = t if acc is None else acc.add(t)
+            return acc if acc is not None else _zero_like(ctxt)
+        # BSGS
+        g = max(1, int(math.isqrt(D)))
+        nj = (D + g - 1) // g
+        baby = [ctxt]
+        for l in range(1, g):
+            baby.append(ea.rotate_1d(ctxt.copy(), self.dim, l, sk))
+        acc = None
+        for j in range(nj):
+            inner = None
+            for l in range(g):
+                i = g * j + l
+                if i >= D:
+                    break
+                sl = self._diag_slots(i, rotated_by=g * j)
+                if not sl.any():
+                    continue
+                t = baby[l].copy()
+                t.mul_constant_poly(ea.encode(list(sl)))
+                inner = t if inner is None else inner.add(t)
+            if inner is None:
+                continue
+            if g * j:
+                inner = ea.rotate_1d(inner, self.dim, g * j, sk)
+            acc = inner if acc is None else acc.add(inner)
+        return acc if acc is not None else _zero_like(ctxt)
+
+
+class MatMulFull:
+    """phi(m)/d x phi(m)/d matrix over ALL slots: composition of 1D matmuls
+    (reference MatMulFullExec, matmul.cpp:2254)."""
+
+    def __init__(self, ea, get):
+        self.ea = ea
+        self.get = get          # get(s_out, s_in) mod p^r
+
+    def apply(self, ctxt, sk):
+        ea = self.ea
+        pal = ea.ctx.pal
+        n = ea.nslots
+        # direct (dense) implementation over the linear slot index using
+        # global rotations; i-th diagonal constant at out-slot s is
+        # M[s][(s-i) mod n]
+        acc = None
+        for i in range(n):
+            sl = np.array([int(self.get(s, (s - i) % n)) % ea.pr
+                           for s in range(n)], dtype=np.int64)
+            if not sl.any():
+                continue
+            rot = ea.rotate(ctxt.copy(), i, sk) if i else ctxt
+            t = rot.copy()
+            t.mul_constant_poly(ea.encode(list(sl)))
+            acc = t if acc is None else acc.add(t)
+        return acc if acc is not None else _zero_like(ctxt)
+
+
+def _zero_like(ctxt):
+    out = ctxt.copy()
+    out.mul_constant_poly(np.zeros(1, dtype=np.int64))
+    return out

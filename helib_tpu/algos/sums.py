@@ -1,0 +1,55 @@
+"""Slot-summation helpers: totalSums / runningSums.
+
+TPU-native equivalent of reference totalSums/runningSums
+(include/helib/EncryptedArray.h:2566-2624, src/EncryptedArray.cpp)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def total_sums(ea, ctxt, sk):
+    """Every slot becomes the sum of all slots (log-depth rotate+add)."""
+    n = ea.nslots
+    out = ctxt
+    e = 1
+    # binary ladder: maintains `out` = sum of e consecutive rotations
+    bits = []
+    v = n
+    while v > 1:
+        bits.append(v & 1)
+        v >>= 1
+    for b in reversed(bits):
+        out = out.copy().add(_rot(ea, out, e, sk))
+        e *= 2
+        if b:
+            out = ctxt.copy().add(_rot(ea, out, 1, sk))
+            e += 1
+    assert e == n
+    return out
+
+
+def running_sums(ea, ctxt, sk):
+    """Slot j becomes sum of slots 0..j (reference runningSums)."""
+    n = ea.nslots
+    out = ctxt
+    shift = 1
+    while shift < n:
+        shifted = _shift(ea, out, shift, sk)
+        out = out.copy().add(shifted)
+        shift *= 2
+    return out
+
+
+def _rot(ea, ctxt, amt, sk):
+    return ea.rotate(ctxt.copy(), amt, sk)
+
+
+def _shift(ea, ctxt, amt, sk):
+    """Global non-cyclic shift by amt (zero-fill below)."""
+    rotated = ea.rotate(ctxt.copy(), amt, sk)
+    # mask out slots with linear index < amt
+    mask = np.zeros(ea.nslots, dtype=np.int64)
+    mask[amt:] = 1
+    rotated.mul_constant_poly(ea.encode(list(mask)))
+    return rotated

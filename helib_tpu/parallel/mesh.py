@@ -27,6 +27,10 @@ from ..pipeline import make_batched_mult_relin
 def make_mesh(n_devices: int | None = None, batch_axis: int | None = None):
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        # virtual CPU mesh (xla_force_host_platform_device_count)
+        devs = jax.devices("cpu")
+    assert len(devs) >= n, (len(devs), n)
     devs = devs[:n]
     if batch_axis is None:
         # favor limb sharding up to 4-way, batch for the rest
