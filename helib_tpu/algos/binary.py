@@ -1,0 +1,182 @@
+"""Bit-sliced binary arithmetic over vectors of ciphertexts.
+
+TPU-native equivalent of reference binaryArith/binaryCompare
+(/root/reference/src/binaryArith.cpp, src/binaryCompare.cpp): numbers are
+little-endian lists of mod-2 ciphertexts (one bit position per ctxt, SIMD
+over slots — the CtPtrs abstraction of reference CtPtrs.h).
+
+XOR = add, AND = multiply (p=2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _xor(a, b):
+    return a.copy().add(b)
+
+
+def _and(a, b, sk):
+    return a.multiply(b, sk)
+
+
+def _zero(ea, bit):
+    z = bit.copy()
+    z.mul_constant_poly(np.zeros(1, dtype=np.int64))
+    return z
+
+
+def _const_one(ea, like):
+    out = like.copy()
+    out.mul_constant_poly(np.zeros(1, dtype=np.int64))
+    out.add_constant_poly(np.ones(1, dtype=np.int64))
+    return out
+
+
+def add_two_numbers(ea, a: list, b: list, sk, out_bits: int | None = None):
+    """Binary addition (reference addTwoNumbers, binaryArith.cpp:644).
+    Ripple-carry; a, b little-endian bit lists (may differ in length)."""
+    n = max(len(a), len(b))
+    out_bits = out_bits or (n + 1)
+    carry = None
+    out = []
+    for i in range(min(out_bits, n + 1)):
+        ai = a[i] if i < len(a) else None
+        bi = b[i] if i < len(b) else None
+        if i >= n:
+            if carry is not None:
+                out.append(carry)
+            break
+        if ai is None:
+            s = bi.copy() if carry is None else _xor(bi, carry)
+            c = None if carry is None else _and(bi, carry, sk)
+        elif bi is None:
+            s = ai.copy() if carry is None else _xor(ai, carry)
+            c = None if carry is None else _and(ai, carry, sk)
+        else:
+            axb = _xor(ai, bi)
+            s = axb if carry is None else _xor(axb, carry)
+            ab = _and(ai, bi, sk)
+            if carry is None:
+                c = ab
+            else:
+                c = _xor(ab, _and(axb, carry, sk))
+        out.append(s)
+        carry = c
+    return out[:out_bits]
+
+
+def three_for_two(ea, a: list, b: list, c: list, sk):
+    """Carry-save: three numbers -> two with the same sum (reference
+    addManyNumbers' 3-for-2 step, binaryArith.cpp:895)."""
+    n = max(len(a), len(b), len(c))
+
+    def bit(x, i):
+        return x[i] if i < len(x) else None
+
+    s, carry = [], [None]   # carry output is shifted up by one
+    for i in range(n):
+        bits = [v for v in (bit(a, i), bit(b, i), bit(c, i)) if v is not None]
+        if len(bits) == 1:
+            s.append(bits[0].copy())
+            carry.append(None)
+        elif len(bits) == 2:
+            s.append(_xor(bits[0], bits[1]))
+            carry.append(_and(bits[0], bits[1], sk))
+        else:
+            x, y, z = bits
+            xy = _xor(x, y)
+            s.append(_xor(xy, z))
+            # maj(x,y,z) = xy*z + x*y  (GF(2))
+            carry.append(_xor(_and(xy, z, sk), _and(x, y, sk)))
+    return s, [v for v in carry]
+
+
+def add_many_numbers(ea, nums: list, sk, out_bits: int | None = None):
+    """Sum a list of binary numbers via 3-for-2 reduction then one final
+    two-number add (reference addManyNumbers, binaryArith.cpp:895)."""
+    nums = [list(v) for v in nums]
+    while len(nums) > 2:
+        a, b, c = nums.pop(), nums.pop(), nums.pop()
+        s, cr = three_for_two(ea, a, b, c, sk)
+        nums.append([x for x in s])
+        nums.append([x for x in cr if True])
+        # strip leading Nones in the carry number
+        nums[-1] = [(_zero(ea, s[0]) if v is None else v) for v in nums[-1]]
+    if len(nums) == 1:
+        return nums[0]
+    a, b = nums
+    return add_two_numbers(ea, a, b, sk, out_bits)
+
+
+def mult_two_numbers(ea, a: list, b: list, sk, out_bits: int | None = None):
+    """Binary multiplication via partial products + multi-add (reference
+    multTwoNumbers, binaryArith.cpp:1027)."""
+    out_bits = out_bits or (len(a) + len(b))
+    partials = []
+    for i, bi in enumerate(b):
+        row = [None] * i + [_and(aj, bi, sk) for aj in a]
+        row = [(_zero(ea, bi) if v is None else v) for v in row[:out_bits]]
+        partials.append(row)
+    return add_many_numbers(ea, partials, sk, out_bits)
+
+
+def negate_number(ea, a: list, sk, width: int):
+    """Two's complement negation: flip bits, add 1."""
+    flipped = []
+    for i in range(width):
+        if i < len(a):
+            f = a[i].copy()
+            f.add_constant_poly(np.ones(1, dtype=np.int64))
+        else:
+            f = _const_one(ea, a[0])
+        flipped.append(f)
+    one = [_const_one(ea, a[0])]
+    return add_two_numbers(ea, flipped, one, sk, width)
+
+
+def compare_two_numbers(ea, a: list, b: list, sk):
+    """(gt, eq) indicator bits (reference compareTwoNumbers,
+    binaryCompare.cpp:255): gt = [a > b], eq = [a == b], slot-wise."""
+    n = max(len(a), len(b))
+
+    def bit(x, i):
+        if i < len(x):
+            return x[i]
+        return None
+
+    eq_suffix = None     # all bits above i equal
+    gt = None
+    for i in range(n - 1, -1, -1):
+        ai, bi = bit(a, i), bit(b, i)
+        if ai is None:
+            ai = _zero(ea, b[0])
+        if bi is None:
+            bi = _zero(ea, a[0])
+        ne = _xor(ai, bi)                      # bits differ
+        gt_here = _and(ai, _xor(bi, _const_one(ea, bi)), sk)  # ai & ~bi
+        if eq_suffix is None:
+            gt = gt_here
+            eq_suffix = _xor(ne, _const_one(ea, ne))
+        else:
+            t = _and(eq_suffix, gt_here, sk)
+            gt = _xor(gt, t)
+            eq_suffix = _and(eq_suffix, _xor(ne, _const_one(ea, ne)), sk)
+    return gt, eq_suffix
+
+
+def encrypt_number(ea, pk, rng, values, width: int):
+    """Encrypt slot-wise integers as a width-bit binary number."""
+    vals = np.asarray(values, dtype=np.int64)
+    bits = []
+    for i in range(width):
+        bits.append(ea.encrypt(list((vals >> i) & 1), pk, rng))
+    return bits
+
+
+def decrypt_number(ea, sk, bits: list) -> np.ndarray:
+    out = np.zeros(ea.nslots, dtype=np.int64)
+    for i, b in enumerate(bits):
+        out += ea.decrypt_ints(b, sk).astype(np.int64) << i
+    return out

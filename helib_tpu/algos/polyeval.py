@@ -33,8 +33,7 @@ class CtxtPowers:
 def poly_eval(coeffs, x, sk):
     """Evaluate sum coeffs[i]*x^i homomorphically (BGV, scalar coeffs mod
     p^r).  Paterson-Stockmeyer: degree-n poly with ~2*sqrt(n) ctxt mults."""
-    ctx = x.ctx
-    pr = ctx.ptxt_space
+    pr = x.ptxt_space
     coeffs = [int(c) % pr for c in coeffs]
     while coeffs and coeffs[-1] == 0:
         coeffs.pop()

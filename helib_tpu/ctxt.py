@@ -357,6 +357,34 @@ class Ctxt:
         """CKKS complex conjugation = X -> X^{-1} (m-1)."""
         return self.smart_automorph(self.ctx.m - 1, sk)
 
+    def divide_by_p(self):
+        """Divide the plaintext by p (requires it divisible); plaintext space
+        p^r -> p^{r-1} (reference Ctxt::divideByP, Ctxt.h:1212)."""
+        ctx = self.ctx
+        p = ctx.p
+        assert self.ptxt_space % p == 0 and self.ptxt_space > p
+        rows = ctx.rows_of(self.k, self.special)
+        qs = ctx.all_q[np.array(rows)]
+        inv = np.array([pow(p, -1, int(q)) for q in qs], dtype=np.uint32)[:, None]
+        from .ops import modops as _m
+        ish = jnp.asarray(_m.shoup(inv, qs[:, None].astype(np.uint64)))
+        q_d, _ = ctx.dev_q(self.k, self.special)
+        from .ops.modops import mul_mod_shoup
+        self.parts = [(h, mul_mod_shoup(d, jnp.asarray(inv), ish, q_d))
+                      for h, d in self.parts]
+        self.ptxt_space //= p
+        self.noise -= math.log2(p)
+        self.intFactor %= self.ptxt_space
+
+    def mult_by_p(self):
+        """Multiply plaintext by p; space p^r -> p^{r+1} if headroom exists
+        (reference multByP)."""
+        p = self.ctx.p
+        self.parts = [(h, rt_mul_scalar(self.ctx, d, p, self.k, self.special))
+                      for h, d in self.parts]
+        self.ptxt_space *= p
+        self.noise += math.log2(p)
+
 
 def _align_ckks_factors(a: Ctxt, b: Ctxt):
     """Equalize CKKS rational factors before addition (role of reference

@@ -155,9 +155,10 @@ class SecKey:
         return dcrt.crt_reconstruct(ctx, coeff_res, rows, balanced=True)
 
     def decrypt_bgv(self, ctxt) -> np.ndarray:
-        """Full BGV decrypt -> plaintext poly coeffs mod p^r, degree < phi(m)."""
+        """Full BGV decrypt -> plaintext poly coeffs mod the ciphertext's
+        plaintext space, degree < phi(m)."""
         ctx = self.ctx
-        pr = ctx.ptxt_space
+        pr = ctxt.ptxt_space
         vals = self.decrypt_raw(ctxt)               # balanced ints, len N
         vals_pr = np.array([int(v) % pr for v in vals], dtype=np.int64)
         red = reduce_mod_phim(vals_pr, ctx, pr)

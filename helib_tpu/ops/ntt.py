@@ -52,6 +52,24 @@ def power_table(r: int, q: int, length: int) -> np.ndarray:
     return pw[:length].astype(np.uint32)
 
 
+def ntt_np(x: np.ndarray, stage_tw: list[np.ndarray], qs: np.ndarray):
+    """Host numpy forward NTT (same stage structure as the device kernel);
+    x [..., P, n] uint64, stage_tw[s] [P, 2^s] uint64, qs [P] uint64.
+    Used only at table-build time."""
+    n = x.shape[-1]
+    q = qs[:, None, None]
+    x = x.astype(np.uint64)
+    for s, w in enumerate(stage_tw):
+        m = 1 << s
+        half = n // (2 * m)
+        xr = x.reshape(*x.shape[:-1], m, 2, half)
+        u, v = xr[..., 0, :], xr[..., 1, :]
+        wv = v * w[..., :, None].astype(np.uint64) % q
+        x = np.stack([(u + wv) % q, (u + q - wv) % q],
+                     axis=-2).reshape(*x.shape[:-1], n)
+    return x
+
+
 def _stage_exponents(n: int, e0: int, ord_root: int):
     """Symbolic DIT splitting.  Block i at stage s represents reduction mod
     (X^(n/2^s) - r^E[i]) for a root r of order `ord_root`.  Returns
@@ -107,6 +125,7 @@ class Pow2NTT:
             itw.append(jnp.asarray(iwt))
             itw_sh.append(jnp.asarray(shoup(iwt, qs[:, None])))
         self.tw, self.tw_sh, self.itw, self.itw_sh = tw, tw_sh, itw, itw_sh
+        self.np_tw = [np.asarray(a, dtype=np.uint64) for a in tw]
         ninv = np.array([inv_mod(n, int(q)) for q in qs], dtype=np.uint32)[:, None]
         self.ninv = jnp.asarray(ninv)
         self.ninv_sh = jnp.asarray(shoup(ninv, qs[:, None]))
@@ -233,8 +252,8 @@ class BluesteinTables:
             bb = np.zeros(B, dtype=np.uint32)
             bb[:m] = usq_inv
             bb[B - m + 1:] = usq_inv[1:][::-1]
-            b3 = (bb[None, :].astype(np.uint64) % raux[:, None]).astype(np.uint32)
-            khat[:, k, :] = np.asarray(ntt_pow2_fwd(jnp.asarray(b3), nttB.tree()))
+            b3 = bb[None, :].astype(np.uint64) % raux[:, None]
+            khat[:, k, :] = ntt_np(b3, nttB.np_tw, raux).astype(np.uint32)
 
         R = int(raux[0]) * int(raux[1]) * int(raux[2])
         Rt = [R // int(r) for r in raux]

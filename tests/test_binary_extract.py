@@ -1,0 +1,102 @@
+"""Binary arithmetic + digit extraction tests
+(mirrors reference GTestBinaryArith / GTestBinaryCompare / GTestExtractDigits)."""
+
+import numpy as np
+import pytest
+
+from helib_tpu.context import Context
+from helib_tpu.keys import SecKey, PubKey
+from helib_tpu.ea import EncryptedArray
+from helib_tpu.algos.binary import (add_two_numbers, add_many_numbers,
+                                    mult_two_numbers, compare_two_numbers,
+                                    encrypt_number, decrypt_number)
+from helib_tpu.algos.extract import extract_digits, build_digit_polynomial
+
+
+@pytest.fixture(scope="module")
+def setup_p2():
+    ctx = Context(m=31, p=2, r=1, bits=500, c=3, scheme="bgv")
+    sk = SecKey(ctx, seed=31)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rng = np.random.default_rng(37)
+    return ctx, sk, pk, ea, rng
+
+
+def test_add_two(setup_p2):
+    ctx, sk, pk, ea, rng = setup_p2
+    W = 4
+    a = rng.integers(0, 1 << W, ea.nslots)
+    b = rng.integers(0, 1 << W, ea.nslots)
+    ca = encrypt_number(ea, pk, rng, a, W)
+    cb = encrypt_number(ea, pk, rng, b, W)
+    out = add_two_numbers(ea, ca, cb, sk)
+    got = decrypt_number(ea, sk, out)
+    np.testing.assert_array_equal(got, a + b)
+
+
+def test_add_many(setup_p2):
+    ctx, sk, pk, ea, rng = setup_p2
+    W = 3
+    vals = [rng.integers(0, 1 << W, ea.nslots) for _ in range(4)]
+    encs = [encrypt_number(ea, pk, rng, v, W) for v in vals]
+    out = add_many_numbers(ea, encs, sk)
+    got = decrypt_number(ea, sk, out)
+    np.testing.assert_array_equal(got, sum(vals))
+
+
+def test_mult_two(setup_p2):
+    ctx, sk, pk, ea, rng = setup_p2
+    W = 3
+    a = rng.integers(0, 1 << W, ea.nslots)
+    b = rng.integers(0, 1 << W, ea.nslots)
+    ca = encrypt_number(ea, pk, rng, a, W)
+    cb = encrypt_number(ea, pk, rng, b, W)
+    out = mult_two_numbers(ea, ca, cb, sk)
+    got = decrypt_number(ea, sk, out)
+    np.testing.assert_array_equal(got, a * b)
+
+
+def test_compare(setup_p2):
+    ctx, sk, pk, ea, rng = setup_p2
+    W = 4
+    a = rng.integers(0, 1 << W, ea.nslots)
+    b = rng.integers(0, 1 << W, ea.nslots)
+    b[0] = a[0]  # force an equal pair
+    ca = encrypt_number(ea, pk, rng, a, W)
+    cb = encrypt_number(ea, pk, rng, b, W)
+    gt, eq = compare_two_numbers(ea, ca, cb, sk)
+    np.testing.assert_array_equal(ea.decrypt_ints(gt, sk),
+                                  (a > b).astype(np.int64))
+    np.testing.assert_array_equal(ea.decrypt_ints(eq, sk),
+                                  (a == b).astype(np.int64))
+
+
+def test_digit_polynomial():
+    for p, e in [(5, 3), (7, 2), (11, 2)]:
+        F = build_digit_polynomial(p, e)
+        pe = p**e
+        for t in range(1, e):
+            for z0 in range(-(p // 2), p // 2 + 1):
+                for z1 in [0, 1, 7]:
+                    z = (z0 + p**t * z1) % pe
+                    val = sum(c * pow(z, i, pe) for i, c in enumerate(F))
+                    assert val % p**(t + 1) == z0 % p**(t + 1), (p, e, t, z0)
+
+
+@pytest.mark.parametrize("p,r", [(2, 3), (5, 2)])
+def test_extract_digits(p, r):
+    ctx = Context(m=31 if p == 2 else 45, p=p, r=r, bits=700, c=3,
+                  scheme="bgv")
+    sk = SecKey(ctx, seed=41)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rng = np.random.default_rng(43)
+    vals = rng.integers(0, p**r, ea.nslots)
+    ct = ea.encrypt(list(vals), pk, rng)
+    digits = extract_digits(ct, sk)
+    assert len(digits) == r
+    for j, dj in enumerate(digits):
+        assert dj.is_correct(), (j, dj.capacity())
+        got = ea.decrypt_ints(dj, sk) % p
+        np.testing.assert_array_equal(got, (vals // p**j) % p, err_msg=str(j))
