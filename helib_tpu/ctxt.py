@@ -342,8 +342,21 @@ class Ctxt:
         return self
 
     def smart_automorph(self, kexp: int, sk: SecKey):
-        """automorph + immediate key switch back to (1, s)."""
+        """automorph + key switch back to (1, s); if no exact matrix is
+        available, chain hops through available matrices (reference
+        Ctxt::smartAutomorph, Ctxt.cpp:2462-2515)."""
         self.relinearize(sk)   # ensure canonical (1, s) form first
+        kexp %= self.ctx.m
+        if kexp == 1:
+            return self
+        if (1, kexp) not in sk.matrices:
+            from .ksstrategy import hop_path
+            path = hop_path(sk, kexp)
+            if path:
+                for a in path:
+                    self.automorph(a)
+                    self.relinearize(sk)
+                return self
         self.automorph(kexp)
         self.relinearize(sk)
         return self
@@ -376,14 +389,26 @@ class Ctxt:
         self.noise -= math.log2(p)
         self.intFactor %= self.ptxt_space
 
-    def mult_by_p(self):
-        """Multiply plaintext by p; space p^r -> p^{r+1} if headroom exists
-        (reference multByP)."""
-        p = self.ctx.p
+    def mult_by_p(self, count: int = 1):
+        """Multiply plaintext by p^count (reference multByP)."""
+        p = self.ctx.p ** count
         self.parts = [(h, rt_mul_scalar(self.ctx, d, p, self.k, self.special))
                       for h, d in self.parts]
         self.ptxt_space *= p
         self.noise += math.log2(p)
+
+    def negate(self):
+        self.parts = [(h, rt_neg(self.ctx, d, self.k, self.special))
+                      for h, d in self.parts]
+        return self
+
+    def reduce_ptxt_space(self, new_space: int):
+        """Reduce plaintext space to gcd (reference reducePtxtSpace)."""
+        g = math.gcd(self.ptxt_space, new_space)
+        assert g > 1
+        self.ptxt_space = g
+        self.intFactor %= g
+        return self
 
 
 def _align_ckks_factors(a: Ctxt, b: Ctxt):

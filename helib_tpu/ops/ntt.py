@@ -130,12 +130,56 @@ class Pow2NTT:
         self.ninv = jnp.asarray(ninv)
         self.ninv_sh = jnp.asarray(shoup(ninv, qs[:, None]))
         self.q_d = jnp.asarray(qs.astype(np.uint32)[:, None])
+        # concatenated "br-layout" tables for the fused Pallas kernel:
+        # stage s occupies entries [2^s, 2^(s+1)); entry 0 = n^{-1} (inverse)
+        cat = np.concatenate([np.zeros((len(qs), 1), np.uint32)]
+                             + [np.asarray(a) for a in tw], axis=1)
+        icat = np.concatenate([ninv] + [np.asarray(a) for a in itw], axis=1)
+        cat_sh = np.concatenate([np.zeros((len(qs), 1), np.uint32)]
+                                + [np.asarray(a) for a in tw_sh], axis=1)
+        icat_sh = np.concatenate([np.asarray(self.ninv_sh)]
+                                 + [np.asarray(a) for a in itw_sh], axis=1)
+        self.tw_cat = jnp.asarray(cat)
+        self.tw_cat_sh = jnp.asarray(cat_sh)
+        self.itw_cat = jnp.asarray(icat)
+        self.itw_cat_sh = jnp.asarray(icat_sh)
+        # fine-phase (transposed) tables for the fused Pallas kernel
+        if n >= 256:
+            from .pallas_ntt import fine_layout
+            stages = n.bit_length() - 1
+            coarse = stages - 7
+            fine = np.zeros_like(cat)
+            fine_sh = np.zeros_like(cat)
+            ifine = np.zeros_like(cat)
+            ifine_sh = np.zeros_like(cat)
+            for s in range(max(coarse, 0), stages):
+                m = 1 << s
+                fine[:, m:2 * m] = fine_layout(np.asarray(tw[s]), n)
+                fine_sh[:, m:2 * m] = fine_layout(np.asarray(tw_sh[s]), n)
+                ifine[:, m:2 * m] = fine_layout(np.asarray(itw[s]), n)
+                ifine_sh[:, m:2 * m] = fine_layout(np.asarray(itw_sh[s]), n)
+            self.tw_fine = jnp.asarray(fine)
+            self.tw_fine_sh = jnp.asarray(fine_sh)
+            self.itw_fine = jnp.asarray(ifine)
+            self.itw_fine_sh = jnp.asarray(ifine_sh)
+        else:
+            self.tw_fine = self.tw_fine_sh = None
+            self.itw_fine = self.itw_fine_sh = None
 
     def tree(self):
         """Pytree of device tables (passed through jit boundaries)."""
-        return {"q": self.q_d, "tw": self.tw, "tw_sh": self.tw_sh,
-                "itw": self.itw, "itw_sh": self.itw_sh,
-                "ninv": self.ninv, "ninv_sh": self.ninv_sh}
+        out = {"q": self.q_d, "tw": self.tw, "tw_sh": self.tw_sh,
+               "itw": self.itw, "itw_sh": self.itw_sh,
+               "ninv": self.ninv, "ninv_sh": self.ninv_sh}
+        if self.tw_fine is not None:
+            out.update({"tw_cat": self.tw_cat, "tw_cat_sh": self.tw_cat_sh,
+                        "itw_cat": self.itw_cat,
+                        "itw_cat_sh": self.itw_cat_sh,
+                        "tw_fine": self.tw_fine,
+                        "tw_fine_sh": self.tw_fine_sh,
+                        "itw_fine": self.itw_fine,
+                        "itw_fine_sh": self.itw_fine_sh})
+        return out
 
 
 def _broadcast_tree(t, k: int):
@@ -143,11 +187,32 @@ def _broadcast_tree(t, k: int):
     with extra batch dims between P and the transform axis."""
     def exp(a):
         return a.reshape(a.shape[0], *([1] * k), *a.shape[1:])
-    return {"q": exp(t["q"]), "ninv": exp(t["ninv"]), "ninv_sh": exp(t["ninv_sh"]),
-            "tw": [exp(a) for a in t["tw"]],
-            "tw_sh": [exp(a) for a in t["tw_sh"]],
-            "itw": [exp(a) for a in t["itw"]],
-            "itw_sh": [exp(a) for a in t["itw_sh"]]}
+    out = {"q": exp(t["q"]), "ninv": exp(t["ninv"]),
+           "ninv_sh": exp(t["ninv_sh"]),
+           "tw": [exp(a) for a in t["tw"]],
+           "tw_sh": [exp(a) for a in t["tw_sh"]],
+           "itw": [exp(a) for a in t["itw"]],
+           "itw_sh": [exp(a) for a in t["itw_sh"]]}
+    for key in ("tw_cat", "tw_cat_sh", "itw_cat", "itw_cat_sh",
+                "tw_fine", "tw_fine_sh", "itw_fine", "itw_fine_sh"):
+        if key in t:
+            out[key] = exp(t[key])
+    return out
+
+
+USE_PALLAS: bool | None = None   # None = auto (fused kernel on TPU backends)
+
+
+def _pallas_enabled() -> bool:
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    try:
+        import jax
+        dd = jax.config.jax_default_device
+        platform = dd.platform if dd is not None else jax.default_backend()
+        return platform not in ("cpu", "gpu")
+    except Exception:
+        return False
 
 
 # ---------------------------------------------------------------------------
@@ -157,6 +222,11 @@ def _broadcast_tree(t, k: int):
 def ntt_pow2_fwd(x, t):
     """x: [..., P, n] coefficients -> evaluations in `eval_exponents` order."""
     n = x.shape[-1]
+    if (_pallas_enabled() and "tw_cat" in t):
+        from .pallas_ntt import apply_ntt, MIN_PALLAS_N
+        if n >= MIN_PALLAS_N:
+            return apply_ntt(x, t["tw_cat"], t["tw_cat_sh"], t["tw_fine"],
+                             t["tw_fine_sh"], t["q"], inverse=False)
     q = t["q"][..., None]  # [.., P, 1, 1]
     for s, (w, ws) in enumerate(zip(t["tw"], t["tw_sh"])):
         m = 1 << s
@@ -172,6 +242,11 @@ def ntt_pow2_fwd(x, t):
 def ntt_pow2_inv(x, t):
     """Inverse of ntt_pow2_fwd (output: natural coefficient order)."""
     n = x.shape[-1]
+    if (_pallas_enabled() and "itw_cat" in t):
+        from .pallas_ntt import apply_ntt, MIN_PALLAS_N
+        if n >= MIN_PALLAS_N:
+            return apply_ntt(x, t["itw_cat"], t["itw_cat_sh"], t["itw_fine"],
+                             t["itw_fine_sh"], t["q"], inverse=True)
     q = t["q"][..., None]
     for s in reversed(range(len(t["itw"]))):
         w, ws = t["itw"][s], t["itw_sh"][s]

@@ -1,0 +1,193 @@
+"""Fused Pallas NTT kernels (two-phase / four-step layout).
+
+The jnp stage-by-stage NTT in ops/ntt.py reads+writes HBM once per butterfly
+stage (log2(n) passes).  These kernels keep a block of limb rows resident in
+VMEM and run ALL stages in-register, with 32-bit Shoup butterflies (no
+uint64 emulation).
+
+TPU constraint: Mosaic cannot relayout reshapes that move data across the
+128-wide lane dimension, so butterflies with stride < 128 cannot use the
+plain [m, 2, half] view.  Classic fix (four-step NTT): run the coarse stages
+(half >= 128) in natural layout, transpose the [A, 128] view to [128, A]
+(A = n/128), and run the fine stages along the former-block axis where the
+effective stride is again >= lane width.  Fine-stage twiddles are stored
+pre-transposed ("fine" tables) so no in-kernel table relayouts are needed.
+
+    wv  = a*w - mulhi32(a, w_shoup)*q      (wrapping u32 arithmetic)
+    out = (u + wv, u - wv)  with one conditional subtract each
+
+Role equivalence: the Intel-HEXL-style fused NTT
+(reference src/intelExt.cpp, src/CModulus.cpp:228-345) re-done for the TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U32 = jnp.uint32
+
+ROW_BLOCK = 8          # limb rows per program (sublane-aligned)
+LANE = 128
+MIN_PALLAS_N = 8192    # below this, the jnp path is used instead
+
+
+def fine_layout(seg: np.ndarray, n: int) -> np.ndarray:
+    """Relayout a stage-s twiddle segment [P, m] (m = 2^s >= n/LANE) into the
+    transposed fine-phase order: entry (gi, c) <- seg[c*g2 + gi] where
+    A = n//LANE, g2 = m//A."""
+    P, m = seg.shape
+    A = n // LANE
+    g2 = m // A
+    return seg.reshape(P, A, g2).swapaxes(1, 2).reshape(P, m)
+
+
+def _mulhi32(a, b):
+    """High 32 bits of u32*u32 via 16-bit halves (wrapping u32 ops)."""
+    m16 = jnp.uint32(0xFFFF)
+    a0 = a & m16
+    a1 = a >> jnp.uint32(16)
+    b0 = b & m16
+    b1 = b >> jnp.uint32(16)
+    lo = a0 * b0
+    m1 = a1 * b0
+    m2 = a0 * b1
+    carry = ((lo >> jnp.uint32(16)) + (m1 & m16) + (m2 & m16)) >> jnp.uint32(16)
+    return a1 * b1 + (m1 >> jnp.uint32(16)) + (m2 >> jnp.uint32(16)) + carry
+
+
+def _shoup_mul(a, w, wsh, q):
+    hi = _mulhi32(a, wsh)
+    r = a * w - hi * q
+    return jnp.where(r >= q, r - q, r)
+
+
+def _csub(v, q):
+    return jnp.where(v >= q, v - q, v)
+
+
+def _ntt_kernel(x_ref, tw_ref, tsh_ref, fine_ref, fsh_ref, q_ref, o_ref, *,
+                n: int, inverse: bool):
+    x = x_ref[:]                       # [R, n]
+    q = q_ref[:]                       # [R, 1]
+    R = x.shape[0]
+    stages = n.bit_length() - 1
+    A = n // LANE
+    coarse = stages - 7                # stages with half >= LANE
+
+    def coarse_stage(x, s):
+        m = 1 << s
+        half = n // (2 * m)
+        w = tw_ref[:, m:2 * m]
+        wsh = tsh_ref[:, m:2 * m]
+        xr = x.reshape(R, m, 2, half)
+        u, v = xr[:, :, 0, :], xr[:, :, 1, :]
+        qq = q[:, :, None]
+        if not inverse:
+            wv = _shoup_mul(v, w[:, :, None], wsh[:, :, None], qq)
+            out = jnp.stack([_csub(u + wv, qq), _csub(u + qq - wv, qq)],
+                            axis=2)
+        else:
+            uu = _csub(u + v, qq)
+            d = _csub(u + qq - v, qq)
+            vv = _shoup_mul(d, w[:, :, None], wsh[:, :, None], qq)
+            out = jnp.stack([uu, vv], axis=2)
+        return out.reshape(R, n)
+
+    def fine_stage(xt, s):
+        # xt: [R, LANE, A]; butterflies along the LANE axis
+        m = 1 << s
+        half = n // (2 * m)            # < LANE
+        g2 = LANE // (2 * half)
+        w = fine_ref[:, m:2 * m].reshape(R, g2, 1, A)
+        wsh = fsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
+        xr = xt.reshape(R, g2, 2, half, A)
+        u, v = xr[:, :, 0], xr[:, :, 1]          # [R, g2, half, A]
+        qq = q[:, :, None, None]
+        if not inverse:
+            wv = _shoup_mul(v, w, wsh, qq)
+            out = jnp.stack([_csub(u + wv, qq), _csub(u + qq - wv, qq)],
+                            axis=2)
+        else:
+            uu = _csub(u + v, qq)
+            d = _csub(u + qq - v, qq)
+            vv = _shoup_mul(d, w, wsh, qq)
+            out = jnp.stack([uu, vv], axis=2)
+        return out.reshape(R, LANE, A)
+
+    if not inverse:
+        for s in range(coarse):
+            x = coarse_stage(x, s)
+        xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)     # [R, LANE, A]
+        for s in range(coarse, stages):
+            xt = fine_stage(xt, s)
+        x = jnp.swapaxes(xt, 1, 2).reshape(R, n)
+    else:
+        xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)
+        for s in reversed(range(coarse, stages)):
+            xt = fine_stage(xt, s)
+        x = jnp.swapaxes(xt, 1, 2).reshape(R, n)
+        for s in reversed(range(coarse)):
+            x = coarse_stage(x, s)
+        x = _shoup_mul(x, tw_ref[:, 0:1], tsh_ref[:, 0:1], q)   # * n^{-1}
+    o_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("n", "inverse", "interpret"))
+def pallas_ntt(x, tw_cat, tsh_cat, fine_cat, fsh_cat, q, *, n: int,
+               inverse: bool, interpret: bool = False):
+    """x: [P, n] uint32 (P multiple of ROW_BLOCK, n >= 2^8 power of two)."""
+    P = x.shape[0]
+    assert P % ROW_BLOCK == 0, P
+    grid = (P // ROW_BLOCK,)
+    kern = functools.partial(_ntt_kernel, n=n, inverse=inverse)
+    zero = np.int32(0)   # keep index_map outputs i32 under jax_enable_x64
+    bs = lambda: pl.BlockSpec((ROW_BLOCK, n), lambda i: (i, zero),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bs(), bs(), bs(), bs(), bs(),
+                  pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, zero),
+                               memory_space=pltpu.VMEM)],
+        out_specs=bs(),
+        out_shape=jax.ShapeDtypeStruct((P, n), jnp.uint32),
+        interpret=interpret,
+    )(x, tw_cat, tsh_cat, fine_cat, fsh_cat, q)
+
+
+# ---------------------------------------------------------------------------
+# wrapper: flatten leading dims into rows, pad to the row block
+# ---------------------------------------------------------------------------
+
+def apply_ntt(x, tw_cat, tsh_cat, fine_cat, fsh_cat, q, inverse: bool,
+              interpret: bool = False):
+    """x: [..., n]; tables broadcastable to x.shape; q to x.shape[:-1]+(1,)."""
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+
+    def prep(a, width):
+        return jnp.broadcast_to(a, lead + (width,)).reshape(-1, width)
+
+    xf = x.reshape(-1, n)
+    full = prep(tw_cat, n)
+    fullsh = prep(tsh_cat, n)
+    ffine = prep(fine_cat, n)
+    ffsh = prep(fsh_cat, n)
+    fullq = prep(q, 1)
+    P = xf.shape[0]
+    pad = (-P) % ROW_BLOCK
+    if pad:
+        ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)), mode="edge")
+        xf, full, fullsh, ffine, ffsh, fullq = map(
+            ext, (xf, full, fullsh, ffine, ffsh, fullq))
+    out = pallas_ntt(xf, full, fullsh, ffine, ffsh, fullq, n=n,
+                     inverse=inverse, interpret=interpret)
+    if pad:
+        out = out[:P]
+    return out.reshape(*lead, n)

@@ -1,0 +1,380 @@
+"""BGV thin bootstrapping (recryption).
+
+TPU-native equivalent of reference recryption
+(/root/reference/src/recryption.cpp): parameter solver setAE
+(recryption.cpp:200-268), rawModSwitch to q = p^e + 1 (Ctxt.cpp:2949),
+newMakeDivisible (recryption.cpp:73), the slot<->coefficient linear maps,
+and extractDigitsThin (recryption.cpp:793-935, basic branch).
+
+Round-1 scope notes (documented deviations):
+  * The slot<->coeff maps are realized as general linear maps
+    sum_k c_k * sigma_k solved by brute force over Z_{p^r} (any Z-linear map
+    on R is in the sigma-span by independence of characters).  This is
+    O(phi(m)^2) unknowns — fine for small m; the reference's factor-tree
+    ThinEvalMap (EvalMap.cpp) is the planned scalable replacement.
+  * rawModSwitch rounds in the coefficient basis (the reference uses the
+    powerful basis for composite m, powerful.cpp); correct for the m used
+    here, with the normBnd margin absorbed in the parameter slack.
+  * The recryption key is the main secret key (the reference switches to a
+    separate sparse key, keys.cpp:1678); contexts intended for bootstrapping
+    should use a sparse (hwt) secret key.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .context import Context
+from .keys import SecKey, PubKey, balanced_int, reduce_mod_phim
+from .ctxt import Ctxt
+from .ea import EncryptedArray
+from . import dcrt
+from .nt.numbth import inv_mod
+from .nt import polymod as pm
+from .nt.cyclotomic import cyclotomic_poly
+from .algos.extract import extract_digits
+
+
+# ---------------------------------------------------------------------------
+# parameters (reference RecryptData::setAE)
+# ---------------------------------------------------------------------------
+
+def std_dev_for_recryption(ctx: Context, hwt: int) -> float:
+    """Reference Context::stdDevForRecryption (Context.h:603)."""
+    k = ctx.pal.n_factors
+    mrat = ctx.phi_m / ctx.m
+    return math.sqrt(mrat * hwt * (1 << k) / 3.0) * 0.5
+
+
+def bound_for_recryption(ctx: Context, hwt: int) -> float:
+    return 0.5 + ctx.scale * std_dev_for_recryption(ctx, hwt)
+
+
+def set_ae(ctx: Context, hwt: int) -> tuple[int, int]:
+    """Choose (e, ePrime) minimizing e - ePrime (reference setAE)."""
+    coeff_bound = bound_for_recryption(ctx, hwt)
+    p, r = ctx.p, ctx.r
+    p2r = ctx.ptxt_space
+    frst = 2 * p2r + 2
+    e_bnd, p2e = 0, 1
+    while p2e <= ((1 << 30) - 2) // p:
+        e_bnd += 1
+        p2e *= p
+    ePrime, e = 0, r + 1
+    while e <= e_bnd and p**e < frst * coeff_bound * 2:
+        e += 1
+    assert e <= e_bnd, "setAE: cannot find suitable e"
+    fudge = 1.05   # conservative stand-in for reference compute_fudge
+    for ePrimeTry in range(1, e_bnd + 1):
+        p2ept = p**ePrimeTry
+        eTry = max(r + 1, ePrimeTry + 1)
+        while eTry <= e_bnd and eTry - ePrimeTry < e - ePrime:
+            if p**eTry >= (p2ept * fudge + frst) * coeff_bound * 2:
+                break
+            eTry += 1
+        if eTry <= e_bnd and eTry - ePrimeTry < e - ePrime:
+            e, ePrime = eTry, ePrimeTry
+    return e, ePrime
+
+
+# ---------------------------------------------------------------------------
+# general linear maps as sum_k c_k sigma_k  (stand-in for ThinEvalMap)
+# ---------------------------------------------------------------------------
+
+class LinearMapR:
+    """A Z_{p^r}-linear map on R = Z[X]/(Phi_m, p^r) applied homomorphically
+    as sum_k encode-free constants times automorphisms."""
+
+    def __init__(self, ea: EncryptedArray, images: dict[int, np.ndarray]):
+        """images: basis monomial j -> image poly coeff vector (len phi_m);
+        missing j means image 0."""
+        self.ea = ea
+        ctx = ea.ctx
+        pr = ea.pr
+        phi = ctx.phi_m
+        m = ctx.m
+        phim_pr = [int(c) % pr for c in cyclotomic_poly(m)]
+        units_k = [k for k in range(1, m) if math.gcd(k, m) == 1]
+        nk = len(units_k)
+        assert nk == phi
+        # system: for each j: sum_k c_k * (X^{jk} mod Phi) = L(X^j)
+        # unknowns: c_k coefficients, stacked [k*phi + t]
+        A = np.zeros((phi * phi, phi * phi), dtype=np.int64)
+        b = np.zeros(phi * phi, dtype=np.int64)
+        for j in range(phi):
+            img = images.get(j)
+            if img is not None:
+                b[j * phi:(j + 1) * phi] = np.asarray(img, dtype=np.int64) % pr
+            for ki, k in enumerate(units_k):
+                # sigma_k(X^j) = X^{jk mod m} reduced mod Phi_m
+                mono = np.zeros(m, dtype=np.int64)
+                mono[(j * k) % m] = 1
+                red = reduce_mod_phim(mono, ctx, pr)
+                # multiplication-by-red matrix column t: red * X^t mod Phi
+                for t in range(phi):
+                    shifted = np.zeros(m, dtype=np.int64)
+                    shifted[t:t + phi] = red[:phi]
+                    col = reduce_mod_phim(shifted, ctx, pr)
+                    A[j * phi:(j + 1) * phi, ki * phi + t] = col
+        sol = _solve_mod(A, b, ea.p, ea.r)
+        self.terms = []
+        for ki, k in enumerate(units_k):
+            ck = sol[ki * phi:(ki + 1) * phi] % pr
+            if np.any(ck):
+                self.terms.append((k, ck.astype(np.int64)))
+
+    def apply(self, ctxt: Ctxt, sk: SecKey) -> Ctxt:
+        acc = None
+        for k, ck in self.terms:
+            t = ctxt.copy().smart_automorph(k, sk)
+            t.mul_constant_poly(ck)
+            acc = t if acc is None else acc.add(t)
+        if acc is None:
+            acc = ctxt.copy()
+            acc.mul_constant_poly(np.zeros(1, dtype=np.int64))
+        return acc
+
+
+def _solve_mod(A: np.ndarray, b: np.ndarray, p: int, r: int) -> np.ndarray:
+    """Solve A x = b over Z_{p^r} (vectorized Gauss with unit pivots;
+    int64 is exact since p^r < 2^30)."""
+    pr = p**r
+    n = A.shape[0]
+    M = (A % pr).astype(np.int64)
+    v = (b % pr).astype(np.int64)
+    for col in range(n):
+        piv = col + int(np.argmax(M[col:, col] % p != 0))
+        assert M[piv, col] % p != 0, "singular system in LinearMapR"
+        if piv != col:
+            M[[col, piv]] = M[[piv, col]]
+            v[[col, piv]] = v[[piv, col]]
+        inv = pow(int(M[col, col]), -1, pr)
+        M[col] = (M[col] * inv) % pr
+        v[col] = (v[col] * inv) % pr
+        f = M[:, col].copy()
+        f[col] = 0
+        M -= np.outer(f, M[col])
+        M %= pr
+        v -= f * v[col]
+        v %= pr
+    return v
+
+
+# ---------------------------------------------------------------------------
+# recryption data + thin recrypt
+# ---------------------------------------------------------------------------
+
+class RecryptData:
+    def __init__(self, ctx: Context, sk: SecKey, ea: EncryptedArray,
+                 hwt: int = 16):
+        assert ctx.scheme == "bgv"
+        self.ctx, self.ea = ctx, ea
+        self.hwt = hwt
+        self.e, self.ePrime = set_ae(ctx, hwt)
+        self.q = ctx.p**self.e + 1
+        # slotToCoeff: x -> sum_t slot_const_t(x) * X^t
+        pr = ea.pr
+        phi = ctx.phi_m
+        n = ea.nslots
+        img1: dict[int, np.ndarray] = {}
+        for j in range(phi):
+            mono = np.zeros(phi, dtype=np.int64)
+            mono[j] = 1
+            consts = np.array([int(s[0]) % pr for s in ea.decode(mono)])
+            out = np.zeros(phi, dtype=np.int64)
+            out[:n] = consts
+            if np.any(out):
+                img1[j] = out
+        self.slot_to_coeff = LinearMapR(ea, img1)
+        # coeffToSlot: X^t -> u_t (unit of slot t) for t < n, else 0
+        img2: dict[int, np.ndarray] = {}
+        for t in range(n):
+            unit = np.zeros(phi, dtype=np.int64)
+            u = ea.units[t]
+            unit[:len(u)] = u
+            img2[t] = unit
+        self.coeff_to_slot = LinearMapR(ea, img2)
+        # recryption key: encryption of s with plaintext space p^{e-e'+r}
+        big_space = ctx.p ** (self.e - self.ePrime + ctx.r)
+        assert big_space < (1 << 30)
+        self.big_space = big_space
+        if sk.pubkey is None:
+            PubKey(sk)
+        self.ekey = _encrypt_with_space(sk, sk.s_coeffs, big_space)
+
+    def __repr__(self):
+        return (f"RecryptData(e={self.e}, ePrime={self.ePrime}, q={self.q}, "
+                f"big_space={self.big_space})")
+
+
+def _encrypt_with_space(sk: SecKey, coeffs: np.ndarray, space: int) -> Ctxt:
+    """Secret-key encryption of an integer poly with plaintext space
+    `space` (role of the recryptEkey generation, keys.cpp:1678)."""
+    from .context import log2_add
+    ctx = sk.ctx
+    rng = sk.rng
+    k, special = ctx.L, False
+    a = dcrt.sample_uniform_residues(ctx, rng, k, special)
+    e_coeffs, _ = dcrt.sample_gaussian(ctx, rng)
+    pe = dcrt.small_coeffs_to_rt(ctx, e_coeffs * space, k, special)
+    s_rows = sk.s_full[np.arange(k), :]
+    from .dcrt import rt_mul, rt_sub, rt_add
+    b = rt_sub(ctx, pe, rt_mul(ctx, a, s_rows, k, special), k, special)
+    Q = ctx.prod_qs(k)
+    fixed = np.array([balanced_int(int(c) * (Q % space) % space, space)
+                      for c in coeffs], dtype=np.int64)
+    pt = dcrt.small_coeffs_to_rt(ctx, fixed, k, special)
+    b = rt_add(ctx, b, pt, k, special)
+    from .keys import SKHandle
+    noise = log2_add(math.log2(space) + ctx.noise_gaussian(),
+                     ctx.noise_mod(space))
+    return Ctxt(ctx=ctx, pubkey=sk.pubkey, parts=[(SKHandle(0, 1, 0), b),
+                                                  (SKHandle(1, 1, 0), a)],
+                k=k, special=special, ptxt_space=space, noise=noise,
+                intFactor=1)
+
+
+def raw_mod_switch(ctxt: Ctxt, q: int) -> list[np.ndarray]:
+    """Host-side raw mod switch of a canonical 2-part ciphertext to modulus
+    q (reference Ctxt::rawModSwitch, Ctxt.cpp:2949).  Returns two balanced
+    integer coefficient vectors mod q (deg < phi(m))."""
+    ctx = ctxt.ctx
+    p2r = ctxt.ptxt_space
+    rows = ctx.rows_of(ctxt.k, ctxt.special)
+    Q = 1
+    for qq in ctx.primes_of(ctxt.k, ctxt.special):
+        Q *= int(qq)
+    Qinv = inv_mod(Q % p2r, p2r)
+    out = []
+    parts = dict((h.powS, d) for h, d in ctxt.parts)
+    for i in (0, 1):
+        res = np.asarray(ctx.inv_ntt(parts[i], rows))
+        vals = dcrt.crt_reconstruct(ctx, res, rows, balanced=True)
+        # reduce mod Phi_m exactly (object ints) for odd m
+        vals = _reduce_phim_balanced(vals, ctx, Q)
+        zz = np.zeros(ctx.phi_m, dtype=np.int64)
+        for j in range(min(len(vals), ctx.phi_m)):
+            c = int(vals[j])
+            cq = c * q
+            X, Y = divmod(cq, Q)
+            if Y > Q // 2:
+                Y -= Q
+                X += 1
+            delta = (Y % p2r) * Qinv % p2r
+            if delta > p2r // 2:
+                delta -= p2r
+            x = X + delta
+            x = balanced_int(x, q) if abs(x) > q // 2 else x
+            zz[j] = x
+        out.append(zz)
+    return out
+
+
+def _reduce_phim_balanced(vals, ctx: Context, Q: int):
+    """Balanced reduction of a mod-(X^m-1) representative mod Phi_m over the
+    integers (object ints)."""
+    if ctx.pal.pow2:
+        return vals
+    m, phi = ctx.m, ctx.phi_m
+    phim = [int(c) for c in cyclotomic_poly(m)]
+    work = [int(v) for v in vals] + [0] * (m - len(vals))
+    for i in range(m - 1, phi - 1, -1):
+        c = work[i]
+        if c:
+            for t, pc in enumerate(phim):
+                work[i - phi + t] -= c * pc
+    return np.array(work[:phi], dtype=object)
+
+
+def make_divisible(zz: np.ndarray, p2e_prime: int, q: int) -> np.ndarray:
+    """Add multiples of q so every entry is divisible by p^{e'}
+    (reference newMakeDivisible, recryption.cpp:73)."""
+    if p2e_prime == 1:
+        return zz
+    assert q % p2e_prime == 1
+    out = zz.copy()
+    for j in range(len(out)):
+        z = int(out[j])
+        zmod = z % p2e_prime
+        v = -zmod if zmod <= p2e_prime // 2 else p2e_prime - zmod
+        out[j] = z + v * q
+    return out
+
+
+def thin_recrypt(ctxt: Ctxt, rc: RecryptData, sk: SecKey) -> Ctxt:
+    """Reference PubKey::thinReCrypt (recryption.cpp:940)."""
+    ctx = rc.ctx
+    ea = rc.ea
+    p, r = ctx.p, ctx.r
+    p2r = ctx.ptxt_space
+    e, ePrime = rc.e, rc.ePrime
+    q = rc.q
+    intF = ctxt.intFactor
+
+    ct = ctxt.copy()
+    ct.drop_special_primes()
+    ct.bring_to_k(min(ct.k, 3))
+
+    # slots -> coefficients
+    ct = rc.slot_to_coeff.apply(ct, sk)
+    ct.relinearize(sk)
+    ct.drop_special_primes()
+    ct.bring_to_k(min(ct.k, 3))
+
+    # raw mod switch to q = p^e + 1
+    zz = raw_mod_switch(ct, q)
+    p2ep = p**ePrime
+    zz = [make_divisible(z, p2ep, q) for z in zz]
+    zz = [z // p2ep for z in zz]
+
+    # re-encrypt: ekey * zz1 + zz0
+    out = rc.ekey.copy()
+    out.mul_constant_poly(zz[1], mag=ctx.noise_uniform(math.log2(max(q, 2))))
+    out.add_constant_poly(zz[0])
+
+    # coefficients -> slots
+    out = rc.coeff_to_slot.apply(out, sk)
+
+    # digit extraction
+    out = extract_digits_thin(out, e - ePrime, r, ePrime, sk)
+    if intF != 1:
+        out.intFactor = out.intFactor * intF % out.ptxt_space
+    return out
+
+
+def extract_digits_thin(ctxt: Ctxt, bot_high: int, r: int, e_prime: int,
+                        sk: SecKey) -> Ctxt:
+    """Reference extractDigitsThin (recryption.cpp:793), basic branch."""
+    ctx = ctxt.ctx
+    p = ctx.p
+    p2r = p**r
+    top_high = bot_high + r - 1
+    unpacked = ctxt.copy()
+    unpacked.relinearize(sk)
+    unpacked.drop_special_primes()
+
+    if p == 2 and r > 2 and top_high + 1 > 2:
+        top_high -= 1
+    scratch = extract_digits(unpacked, sk, top_high + 1)
+    top_high = min(top_high, len(scratch) - 1)
+
+    acc = scratch[top_high].copy()
+    for j in range(top_high - 1, bot_high - 1, -1):
+        acc.mult_by_p()
+        acc = acc.add(scratch[j])
+    if p == 2 and bot_high > 0:
+        acc = acc.add(scratch[bot_high - 1])
+    acc.negate()
+    if r > e_prime:
+        top_low = r - 1 - e_prime
+        tmp = scratch[top_low].copy()
+        for j in range(top_low - 1, -1, -1):
+            tmp.mult_by_p()
+            tmp = tmp.add(scratch[j])
+        if e_prime > 0:
+            tmp.mult_by_p(e_prime)
+        acc = acc.add(tmp)
+    acc.reduce_ptxt_space(p2r)
+    return acc

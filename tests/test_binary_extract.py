@@ -86,8 +86,7 @@ def test_digit_polynomial():
 
 @pytest.mark.parametrize("p,r", [(2, 3), (5, 2)])
 def test_extract_digits(p, r):
-    ctx = Context(m=31 if p == 2 else 45, p=p, r=r, bits=700, c=3,
-                  scheme="bgv")
+    ctx = Context(m=31, p=p, r=r, bits=700, c=3, scheme="bgv")
     sk = SecKey(ctx, seed=41)
     pk = PubKey(sk)
     ea = EncryptedArray(ctx)
@@ -96,7 +95,12 @@ def test_extract_digits(p, r):
     ct = ea.encrypt(list(vals), pk, rng)
     digits = extract_digits(ct, sk)
     assert len(digits) == r
+    # oracle: BALANCED base-p expansion (the digit polynomial interpolates
+    # balanced residues, mirroring reference buildDigitPolynomial)
+    rem = vals.astype(np.int64).copy()
     for j, dj in enumerate(digits):
         assert dj.is_correct(), (j, dj.capacity())
         got = ea.decrypt_ints(dj, sk) % p
-        np.testing.assert_array_equal(got, (vals // p**j) % p, err_msg=str(j))
+        bal = ((rem + (p - 1) // 2) % p) - (p - 1) // 2
+        np.testing.assert_array_equal(got, bal % p, err_msg=str(j))
+        rem = (rem - bal) // p

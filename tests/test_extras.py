@@ -1,0 +1,140 @@
+"""Tests: intraSlot, tableLookup, permutations, linpoly, io, argmap, security
+(mirrors reference GTestIntraSlot/GTestTableLookup/TestPermutations/
+TestBinIO/TestArgMap)."""
+
+import io as _io
+
+import numpy as np
+import pytest
+
+from helib_tpu.context import Context
+from helib_tpu.keys import SecKey, PubKey
+from helib_tpu.ea import EncryptedArray
+from helib_tpu.algos.intraslot import (build_unpack_slot_encoding, unpack,
+                                       repack)
+from helib_tpu.algos.linpoly import lin_poly_coeffs, apply_linearized
+from helib_tpu.algos.tablelookup import table_lookup, compute_all_products
+from helib_tpu.algos.permutations import apply_permutation
+from helib_tpu import io as hio
+from helib_tpu.argmap import ArgMap, ArgMapError
+from helib_tpu.security import lwe_estimate_security, context_security
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = Context(m=31, p=2, r=1, bits=400, c=3, scheme="bgv")   # d=5, 6 slots
+    sk = SecKey(ctx, seed=51)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rng = np.random.default_rng(53)
+    return ctx, sk, pk, ea, rng
+
+
+def test_linpoly_identity(setup):
+    ctx, sk, pk, ea, rng = setup
+    d = ea.d
+    # identity map: images = basis itself
+    images = [np.eye(d, dtype=np.int64)[k] for k in range(d)]
+    cs = lin_poly_coeffs(ea, images)
+    slots = [rng.integers(0, 2, d) for _ in range(ea.nslots)]
+    ct = ea.encrypt(slots, pk, rng)
+    out = apply_linearized(ea, ct, cs, sk)
+    dec = ea.decrypt(out, sk)
+    for a, b in zip(dec, slots):
+        np.testing.assert_array_equal(a, np.asarray(b) % 2)
+
+
+def test_unpack_repack(setup):
+    ctx, sk, pk, ea, rng = setup
+    d = ea.d
+    slots = [rng.integers(0, 2, d) for _ in range(ea.nslots)]
+    ct = ea.encrypt(slots, pk, rng)
+    enc = build_unpack_slot_encoding(ea)
+    parts = unpack(ea, ct, sk, enc)
+    assert len(parts) == d
+    mat = np.array(slots)
+    for j, pj in enumerate(parts):
+        np.testing.assert_array_equal(ea.decrypt_ints(pj, sk), mat[:, j],
+                                      err_msg=f"coeff {j}")
+    back = repack(ea, parts)
+    dec = ea.decrypt(back, sk)
+    for a, b in zip(dec, slots):
+        np.testing.assert_array_equal(a, np.asarray(b) % 2)
+
+
+def test_table_lookup(setup):
+    ctx, sk, pk, ea, rng = setup
+    k = 3
+    idx = rng.integers(0, 1 << k, ea.nslots)
+    bits = [ea.encrypt(list((idx >> i) & 1), pk, rng) for i in range(k)]
+    sel = compute_all_products(ea, bits, sk)
+    for v in range(1 << k):
+        np.testing.assert_array_equal(ea.decrypt_ints(sel[v], sk),
+                                      (idx == v).astype(np.int64))
+    table = [(3 * v + 1) % 2 for v in range(1 << k)]
+    out = table_lookup(ea, bits, table, sk)
+    expect = np.array([table[v] for v in idx])
+    np.testing.assert_array_equal(ea.decrypt_ints(out, sk), expect)
+
+
+def test_permutation(setup):
+    ctx, sk, pk, ea, rng = setup
+    n = ea.nslots
+    perm = rng.permutation(n)
+    s = rng.integers(0, 2, n)
+    ct = ea.encrypt(list(s), pk, rng)
+    out = apply_permutation(ea, ct, perm, sk)
+    np.testing.assert_array_equal(ea.decrypt_ints(out, sk), s[perm])
+
+
+def test_io_roundtrip(setup):
+    ctx, sk, pk, ea, rng = setup
+    s = rng.integers(0, 2, ea.nslots)
+    ct = ea.encrypt(list(s), pk, rng)
+    data = hio.to_bytes(hio.write_ctxt, ct)
+    ct2 = hio.from_bytes(hio.read_ctxt, data, ctx, pk)
+    np.testing.assert_array_equal(ea.decrypt_ints(ct2, sk), s)
+    # context json + binary
+    js = hio.context_to_json(ctx)
+    ctx2 = hio.context_from_json(js)
+    assert ctx2.m == ctx.m and ctx2.L == ctx.L
+    data = hio.to_bytes(hio.write_context, ctx)
+    ctx3 = hio.from_bytes(hio.read_context, data)
+    assert np.array_equal(ctx3.qs, ctx.qs)
+    # secret key
+    data = hio.to_bytes(hio.write_seckey, sk)
+    sk2 = hio.from_bytes(hio.read_seckey, data, ctx)
+    np.testing.assert_array_equal(sk2.s_coeffs, sk.s_coeffs)
+    dec = sk2.decrypt_bgv(ct)
+    np.testing.assert_array_equal(ea.decode_ints(dec), s)
+
+
+def test_pubkey_io(setup):
+    ctx, sk, pk, ea, rng = setup
+    data = hio.to_bytes(hio.write_pubkey, pk, True)
+    sk2 = hio.from_bytes(hio.read_seckey,
+                         hio.to_bytes(hio.write_seckey, sk), ctx)
+    pk2 = hio.from_bytes(hio.read_pubkey, data, ctx, sk2)
+    s = rng.integers(0, 2, ea.nslots)
+    ct = ea.encrypt(list(s), pk2, rng)
+    np.testing.assert_array_equal(ea.decrypt_ints(ct, sk2), s)
+
+
+def test_argmap():
+    am = (ArgMap().arg("m", 45, "cyclotomic").arg("p", 2).required()
+          .toggle("verbose"))
+    out = am.parse(["m=31", "p", "5", "verbose"])
+    assert out == {"m": 31, "p": 5, "verbose": True}
+    with pytest.raises(ArgMapError):
+        am.parse(["m=31"])   # missing required p
+    with pytest.raises(ArgMapError):
+        am.parse(["bogus=1", "p=2"])
+
+
+def test_security_estimator(setup):
+    ctx = setup[0]
+    # affine fit sanity: dense keys, n=phi(m)
+    s = lwe_estimate_security(4096, 100, 0)
+    assert abs(s - (3.8 * 40.96 - 20)) < 1e-6
+    assert lwe_estimate_security(4096, 100, 60) == 0.0   # below-min sparse
+    assert context_security(ctx) >= 0.0

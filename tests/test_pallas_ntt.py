@@ -1,0 +1,57 @@
+"""Fused Pallas NTT kernel vs the reference jnp stage implementation
+(interpret mode on CPU; the real-TPU path is exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from helib_tpu.nt.primegen import gen_primes
+from helib_tpu.ops import ntt as nttmod
+from helib_tpu.ops.ntt import Pow2NTT, ntt_pow2_fwd, ntt_pow2_inv
+from helib_tpu.ops.pallas_ntt import apply_ntt
+
+
+def _fwd(x, tree):
+    return apply_ntt(x, tree["tw_cat"], tree["tw_cat_sh"], tree["tw_fine"],
+                     tree["tw_fine_sh"], tree["q"], inverse=False,
+                     interpret=True)
+
+
+def _inv(x, tree):
+    return apply_ntt(x, tree["itw_cat"], tree["itw_cat_sh"],
+                     tree["itw_fine"], tree["itw_fine_sh"], tree["q"],
+                     inverse=True, interpret=True)
+
+
+@pytest.mark.parametrize("n,negacyclic", [(256, True), (1024, True),
+                                          (512, False)])
+def test_pallas_matches_jnp(n, negacyclic):
+    qs = np.array(gen_primes(2 * n, 5), dtype=np.uint32)
+    t = Pow2NTT(qs, n, negacyclic=negacyclic)
+    tree = t.tree()
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.integers(0, qs[:, None].astype(np.int64),
+                                 (len(qs), n)).astype(np.uint32))
+    nttmod.USE_PALLAS = False
+    ref_fwd = np.asarray(ntt_pow2_fwd(x, tree))
+    got_fwd = np.asarray(_fwd(x, tree))
+    np.testing.assert_array_equal(got_fwd, ref_fwd)
+    ref_inv = np.asarray(ntt_pow2_inv(jnp.asarray(ref_fwd), tree))
+    got_inv = np.asarray(_inv(jnp.asarray(ref_fwd), tree))
+    np.testing.assert_array_equal(got_inv, ref_inv)
+
+
+def test_pallas_padding_and_batch():
+    n = 256
+    qs = np.array(gen_primes(2 * n, 3), dtype=np.uint32)
+    t = Pow2NTT(qs, n, negacyclic=True)
+    tree = t.tree()
+    rng = np.random.default_rng(19)
+    # batched leading dim + non-multiple-of-8 rows
+    x = jnp.asarray(rng.integers(0, qs[None, :, None].astype(np.int64),
+                                 (2, len(qs), n)).astype(np.uint32))
+    nttmod.USE_PALLAS = False
+    ref = np.asarray(ntt_pow2_fwd(x, tree))
+    got = np.asarray(_fwd(x, tree))
+    np.testing.assert_array_equal(got, ref)
