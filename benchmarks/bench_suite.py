@@ -1,0 +1,122 @@
+"""Benchmark suite mirroring the reference google-benchmark workloads
+(reference benchmarks/bgv_basic.cpp, ckks_basic.cpp, fft_bench.cpp).
+
+Run: python benchmarks/bench_suite.py [suite=bgv|ckks|ntt|all] [quick=1]
+Prints one JSON line per benchmark.
+"""
+
+import json
+import sys
+import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def timeit(fn, min_iters=3, min_time=1.0):
+    fn()  # warm-up / compile
+    t0 = time.time()
+    n = 0
+    while True:
+        fn()
+        n += 1
+        dt = time.time() - t0
+        if n >= min_iters and dt >= min_time:
+            return dt / n
+
+
+def bench_bgv(quick=False):
+    import numpy as np
+    import jax
+    from helib_tpu.context import Context
+    from helib_tpu.keys import SecKey
+    from helib_tpu.pipeline import make_mult_relin
+    from helib_tpu import dcrt
+
+    configs = [("tiny", 257, 2, 300, 2)]
+    if not quick:
+        configs += [("small", 8009, 2, 380, 3)]
+    for name, m, p, bits, c in configs:
+        ctx = Context(m=m, p=p, r=1, bits=bits, c=c, scheme="bgv")
+        sk = SecKey(ctx, seed=2)
+        fn, args = make_mult_relin(ctx, sk)
+        jfn = jax.jit(fn)
+
+        def run():
+            jax.block_until_ready(jfn(*args))
+        per = timeit(run)
+        print(json.dumps({"metric": f"bgv_mult_relin_ms_{name}_m{m}",
+                          "value": round(per * 1e3, 3), "unit": "ms"}))
+
+        # add (elementwise) on the same shapes
+        q, mu = ctx.dev_q(ctx.L, False)
+        from helib_tpu.ops.modops import add_mod
+        addj = jax.jit(lambda a, b: add_mod(a, b, q))
+
+        def run_add():
+            jax.block_until_ready(addj(args[0], args[2]))
+        per = timeit(run_add)
+        print(json.dumps({"metric": f"bgv_add_ms_{name}_m{m}",
+                          "value": round(per * 1e3, 3), "unit": "ms"}))
+
+
+def bench_ntt(quick=False):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from helib_tpu.nt.primegen import gen_primes
+    from helib_tpu.ops.ntt import Pow2NTT, ntt_pow2_fwd
+
+    for n, L in ([(16384, 16)] if quick else [(8192, 16), (16384, 16),
+                                              (32768, 32), (65536, 16)]):
+        qs = np.array(gen_primes(2 * n, L), dtype=np.uint32)
+        t = Pow2NTT(qs, n, negacyclic=True)
+        tree = t.tree()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(0, qs[:, None].astype(np.int64),
+                                     (L, n)).astype(np.uint32))
+        jfn = jax.jit(lambda v: ntt_pow2_fwd(v, tree))
+
+        def run():
+            jax.block_until_ready(jfn(x))
+        per = timeit(run)
+        print(json.dumps({"metric": f"ntt_fwd_us_n{n}_L{L}",
+                          "value": round(per * 1e6 / L, 2),
+                          "unit": "us/limb"}))
+
+
+def bench_ckks(quick=False):
+    import numpy as np
+    import jax
+    from helib_tpu.context import Context
+    from helib_tpu.keys import SecKey
+    from helib_tpu.pipeline import make_mult_relin
+
+    for m, bits in ([(1024, 240)] if quick else [(16384, 360),
+                                                 (65536, 440)]):
+        ctx = Context(m=m, p=-1, r=30, bits=bits, c=3, scheme="ckks")
+        sk = SecKey(ctx, seed=2)
+        fn, args = make_mult_relin(ctx, sk)
+        jfn = jax.jit(fn)
+
+        def run():
+            jax.block_until_ready(jfn(*args))
+        per = timeit(run)
+        print(json.dumps({"metric": f"ckks_mult_relin_ms_m{m}_b{bits}",
+                          "value": round(per * 1e3, 3), "unit": "ms"}))
+
+
+if __name__ == "__main__":
+    suite = "all"
+    quick = False
+    for a in sys.argv[1:]:
+        if a.startswith("suite="):
+            suite = a.split("=", 1)[1]
+        if a.startswith("quick="):
+            quick = a.split("=", 1)[1] not in ("0", "false")
+    if suite in ("ntt", "all"):
+        bench_ntt(quick)
+    if suite in ("bgv", "all"):
+        bench_bgv(quick)
+    if suite in ("ckks", "all"):
+        bench_ckks(quick)

@@ -43,8 +43,11 @@ def table_lookup(ea, bits: list, table: list, sk):
     assert len(table) <= len(sel)
     acc = None
     for idx, entry in enumerate(table):
+        entry = np.atleast_1d(entry)
+        if len(entry) == 1:           # scalar: broadcast to every slot
+            entry = np.full(ea.nslots, entry[0], dtype=np.int64)
         t = sel[idx].copy()
-        t.mul_constant_poly(ea.encode(list(np.atleast_1d(entry))))
+        t.mul_constant_poly(ea.encode(list(entry)))
         acc = t if acc is None else acc.add(t)
     return acc
 

@@ -27,12 +27,16 @@ from .nt.cyclotomic import cyclotomic_poly
 
 
 class EncryptedArray:
-    def __init__(self, ctx: Context):
+    def __init__(self, ctx: Context, r_override: int | None = None):
+        """r_override: build the slot tables mod p^r_override instead of the
+        context's p^r (role of the reference's alternative PAlgebraMod views,
+        e.g. the recryption alMod with its larger exponent)."""
         assert ctx.scheme == "bgv"
         self.ctx = ctx
         pal = ctx.pal
-        self.p, self.r = ctx.p, ctx.r
-        self.pr = ctx.ptxt_space
+        self.p = ctx.p
+        self.r = r_override if r_override is not None else ctx.r
+        self.pr = self.p ** self.r
         self.d = pal.d
         self.nslots = pal.nslots
         self.m = ctx.m
@@ -151,7 +155,7 @@ class EncryptedArray:
         EncryptedArray.cpp:67-125).  Content at coord e moves to e+amt."""
         pal = self.ctx.pal
         D = pal.orders[dim]
-        amt %= D
+        amt = int(amt) % D
         if amt == 0:
             return ctxt
         g = pal.gens[dim]

@@ -104,7 +104,10 @@ class SecKey:
         if key in self.matrices:
             return self.matrices[key]
         ctx = self.ctx
-        p = 1 if ctx.scheme == "ckks" else (ptxt_space or ctx.ptxt_space)
+        # bootstrappable contexts use the larger recryption plaintext space
+        # for every matrix (reference GenKeySWmatrix, keys.cpp:1212-1222)
+        default_space = getattr(ctx, "boot_ptxt_space", 0) or ctx.ptxt_space
+        p = 1 if ctx.scheme == "ckks" else (ptxt_space or default_space)
         # fromKey = s^powS(X^powX) on all rows
         fk = self.s_full
         if from_handle.powX != 1:

@@ -141,24 +141,29 @@ def _ntt_kernel(x_ref, tw_ref, tsh_ref, fine_ref, fsh_ref, q_ref, o_ref, *,
 @functools.partial(jax.jit, static_argnames=("n", "inverse", "interpret"))
 def pallas_ntt(x, tw_cat, tsh_cat, fine_cat, fsh_cat, q, *, n: int,
                inverse: bool, interpret: bool = False):
-    """x: [P, n] uint32 (P multiple of ROW_BLOCK, n >= 2^8 power of two)."""
+    """x: [P, n] uint32 (P multiple of ROW_BLOCK, n >= 2^8 power of two).
+    The coarse stages only read entries [0, n/LANE) of the cat tables, so
+    only that prefix is shipped to VMEM."""
     P = x.shape[0]
     assert P % ROW_BLOCK == 0, P
     grid = (P // ROW_BLOCK,)
+    ncoarse = max(n // LANE, 2)
+    tw_c = tw_cat[:, :ncoarse]
+    tsh_c = tsh_cat[:, :ncoarse]
     kern = functools.partial(_ntt_kernel, n=n, inverse=inverse)
     zero = np.int32(0)   # keep index_map outputs i32 under jax_enable_x64
-    bs = lambda: pl.BlockSpec((ROW_BLOCK, n), lambda i: (i, zero),
-                              memory_space=pltpu.VMEM)
+    bs = lambda w: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, zero),
+                                memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bs(), bs(), bs(), bs(), bs(),
-                  pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, zero),
-                               memory_space=pltpu.VMEM)],
-        out_specs=bs(),
+        in_specs=[bs(n), bs(ncoarse), bs(ncoarse), bs(n), bs(n), bs(1)],
+        out_specs=bs(n),
         out_shape=jax.ShapeDtypeStruct((P, n), jnp.uint32),
         interpret=interpret,
-    )(x, tw_cat, tsh_cat, fine_cat, fsh_cat, q)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, tw_c, tsh_c, fine_cat, fsh_cat, q)
 
 
 # ---------------------------------------------------------------------------

@@ -114,10 +114,10 @@ class LinearMapR:
                 red = reduce_mod_phim(mono, ctx, pr)
                 # multiplication-by-red matrix column t: red * X^t mod Phi
                 for t in range(phi):
-                    shifted = np.zeros(m, dtype=np.int64)
+                    shifted = np.zeros(t + phi, dtype=np.int64)
                     shifted[t:t + phi] = red[:phi]
                     col = reduce_mod_phim(shifted, ctx, pr)
-                    A[j * phi:(j + 1) * phi, ki * phi + t] = col
+                    A[j * phi:(j + 1) * phi, ki * phi + t] = _padv(col, phi)
         sol = _solve_mod(A, b, ea.p, ea.r)
         self.terms = []
         for ki, k in enumerate(units_k):
@@ -135,6 +135,12 @@ class LinearMapR:
             acc = ctxt.copy()
             acc.mul_constant_poly(np.zeros(1, dtype=np.int64))
         return acc
+
+
+def _padv(v: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros(n, dtype=np.int64)
+    out[:min(len(v), n)] = v[:n]
+    return out
 
 
 def _solve_mod(A: np.ndarray, b: np.ndarray, p: int, r: int) -> np.ndarray:
@@ -188,18 +194,26 @@ class RecryptData:
             if np.any(out):
                 img1[j] = out
         self.slot_to_coeff = LinearMapR(ea, img1)
-        # coeffToSlot: X^t -> u_t (unit of slot t) for t < n, else 0
+        # coeffToSlot: X^t -> u_t (unit of slot t) for t < n, else 0.
+        # Applied AFTER re-encryption, where the plaintext space is the big
+        # p^{e-e'+r} — so the map and its slot units are built mod that space
+        # (role of the reference recryption alMod, recryption.h:44).
+        self.ea_big = EncryptedArray(ctx, r_override=self.e - self.ePrime
+                                     + ctx.r)
         img2: dict[int, np.ndarray] = {}
         for t in range(n):
             unit = np.zeros(phi, dtype=np.int64)
-            u = ea.units[t]
+            u = self.ea_big.units[t]
             unit[:len(u)] = u
             img2[t] = unit
-        self.coeff_to_slot = LinearMapR(ea, img2)
+        self.coeff_to_slot = LinearMapR(self.ea_big, img2)
         # recryption key: encryption of s with plaintext space p^{e-e'+r}
         big_space = ctx.p ** (self.e - self.ePrime + ctx.r)
         assert big_space < (1 << 30)
         self.big_space = big_space
+        # all KS matrices must carry the large space (reference keys.cpp:1218)
+        ctx.boot_ptxt_space = big_space
+        sk.matrices.clear()
         if sk.pubkey is None:
             PubKey(sk)
         self.ekey = _encrypt_with_space(sk, sk.s_coeffs, big_space)

@@ -1,0 +1,60 @@
+"""Thin bootstrapping end-to-end (mirrors reference GTestThinboot):
+encrypt -> consume capacity -> thinReCrypt -> verify plaintext preserved and
+capacity restored -> keep computing."""
+
+import numpy as np
+import pytest
+
+from helib_tpu.context import Context
+from helib_tpu.keys import SecKey, PubKey
+from helib_tpu.ea import EncryptedArray
+from helib_tpu.recryption import RecryptData, thin_recrypt, set_ae
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = Context(m=31, p=2, r=1, bits=800, c=3, scheme="bgv")
+    sk = SecKey(ctx, seed=61, hwt=16)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rc = RecryptData(ctx, sk, ea, hwt=16)
+    rng = np.random.default_rng(67)
+    return ctx, sk, pk, ea, rc, rng
+
+
+def test_set_ae(setup):
+    ctx, sk, pk, ea, rc, rng = setup
+    e, ep = set_ae(ctx, 16)
+    assert e > ep >= 0
+    assert ctx.p**e + 1 < (1 << 30)
+
+
+def test_linear_maps_roundtrip(setup):
+    """slotToCoeff then coeffToSlot is the identity on thin ciphertexts."""
+    ctx, sk, pk, ea, rc, rng = setup
+    slots = rng.integers(0, ctx.ptxt_space, ea.nslots)
+    ct = ea.encrypt(list(slots), pk, rng)
+    ct2 = rc.slot_to_coeff.apply(ct, sk)
+    # coefficients 0..n-1 of the plaintext now hold the slot constants
+    dec = sk.decrypt_bgv(ct2)
+    np.testing.assert_array_equal(dec[:ea.nslots], slots)
+    ct3 = rc.coeff_to_slot.apply(ct2, sk)
+    np.testing.assert_array_equal(ea.decrypt_ints(ct3, sk), slots)
+
+
+def test_thin_recrypt(setup):
+    ctx, sk, pk, ea, rc, rng = setup
+    slots = rng.integers(0, ctx.ptxt_space, ea.nslots)
+    ct = ea.encrypt(list(slots), pk, rng)
+    # burn capacity with a few squarings of a companion and adds
+    low = ct.copy()
+    low.bring_to_k(3)
+    cap_before = low.capacity()
+    out = thin_recrypt(low, rc, sk)
+    assert out.is_correct(), out.capacity()
+    np.testing.assert_array_equal(ea.decrypt_ints(out, sk), slots)
+    assert out.capacity() > cap_before + 30, (cap_before, out.capacity())
+    # keep computing after recryption
+    sq = out.multiply(out, sk)
+    np.testing.assert_array_equal(ea.decrypt_ints(sq, sk),
+                                  (slots * slots) % ctx.ptxt_space)
