@@ -6,11 +6,24 @@ bootstrapping, and the surrounding algorithm library).  See SURVEY.md for the
 structural map to the reference and the design departures taken for TPU.
 """
 
+import os
+
 import jax
 
 # 64-bit integer support: device modular arithmetic uses uint64 intermediates
 # (emulated as 32-bit pairs on TPU); host-side exact math uses numpy int64.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: first-compile of the NTT/pipeline graphs is
+# expensive over the TPU tunnel; subsequent process launches reuse it.
+_cache_dir = os.environ.get("HELIB_TPU_XLA_CACHE",
+                            os.path.expanduser("~/.cache/helib_tpu_xla"))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization only
+    pass
 
 __version__ = "0.1.0"
 

@@ -166,6 +166,63 @@ def compare_two_numbers(ea, a: list, b: list, sk):
     return gt, eq_suffix
 
 
+def bitwise_xor(ea, a: list, b: list):
+    """Slot-wise XOR per bit position (reference bitwiseXOR)."""
+    n = max(len(a), len(b))
+    out = []
+    for i in range(n):
+        if i >= len(a):
+            out.append(b[i].copy())
+        elif i >= len(b):
+            out.append(a[i].copy())
+        else:
+            out.append(_xor(a[i], b[i]))
+    return out
+
+
+def bitwise_and(ea, a: list, b: list, sk):
+    return [_and(x, y, sk) for x, y in zip(a, b)]
+
+
+def bitwise_or(ea, a: list, b: list, sk):
+    """x | y = x + y + x*y over GF(2) (reference bitwiseOr)."""
+    return [_xor(_xor(x, y), _and(x, y, sk)) for x, y in zip(a, b)]
+
+
+def bitwise_not(ea, a: list):
+    out = []
+    for x in a:
+        t = x.copy()
+        t.add_constant_poly(np.ones(1, dtype=np.int64))
+        out.append(t)
+    return out
+
+
+def left_shift(ea, a: list, amt: int, width: int):
+    """Multiply by 2^amt (zero-fill low bits), reference leftBitwiseShift."""
+    z = [_zero(ea, a[0]) for _ in range(amt)]
+    return (z + [x.copy() for x in a])[:width]
+
+
+def binary_cond(ea, cond, a: list, b: list, sk):
+    """Bit-sliced mux: cond ? a : b (reference binaryCond,
+    binaryArith.h:259)."""
+    out = []
+    n = max(len(a), len(b))
+    for i in range(n):
+        ai = a[i] if i < len(a) else _zero(ea, cond)
+        bi = b[i] if i < len(b) else _zero(ea, cond)
+        # cond*ai + (1-cond)*bi = bi + cond*(ai xor bi)  over GF(2)
+        d = _xor(ai, bi)
+        out.append(_xor(bi, _and(cond, d, sk)))
+    return out
+
+
+def binary_mask(ea, cond, a: list, sk):
+    """Zero out a where cond=0 (reference binaryMask)."""
+    return [_and(x, cond, sk) for x in a]
+
+
 def encrypt_number(ea, pk, rng, values, width: int):
     """Encrypt slot-wise integers as a width-bit binary number."""
     vals = np.asarray(values, dtype=np.int64)

@@ -26,3 +26,19 @@ def map_to_01(ea, ctxt, sk):
             acc = acc.multiply(frob, sk)
         out = acc
     return out
+
+
+def incremental_zero_test(ea, ctxts: list, sk):
+    """For a list of bit ciphertexts b_1..b_k, return z_i = prod_{j<=i}
+    (1 - b_j): z_i = 1 iff all of b_1..b_i are zero (reference
+    incrementalZeroTest, eqtesting.cpp:134)."""
+    import numpy as np
+    out = []
+    acc = None
+    for b in ctxts:
+        nb = b.copy()
+        nb.mul_constant_poly(np.full(1, -1, dtype=np.int64))
+        nb.add_constant_poly(np.ones(1, dtype=np.int64))
+        acc = nb if acc is None else acc.multiply(nb, sk)
+        out.append(acc.copy())
+    return out

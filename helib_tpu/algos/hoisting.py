@@ -1,0 +1,71 @@
+"""Hoisted automorphisms: decompose once, rotate many times.
+
+TPU-native equivalent of reference BasicAutomorphPrecon
+(/root/reference/src/matmul.cpp:48-183): the expensive part of a rotation is
+the key-switch digit decomposition of the c1 part; for a batch of rotations
+of the SAME ciphertext (e.g. BSGS baby steps) the decomposition is shared —
+each automorphism then costs only a permutation plus the matrix MACs.
+
+Valid because digit decomposition is coefficient-wise and balanced, so it
+commutes with Galois automorphisms: digits(sigma_k(c)) = sigma_k(digits(c)).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..context import log2_add, NEG_INF
+from ..keys import SKHandle
+from ..ctxt import Ctxt
+from ..dcrt import rt_break_into_digits, rt_add_special_and_scale, rt_mul, \
+    rt_add, rt_automorph
+
+
+class AutomorphPrecon:
+    def __init__(self, ctxt: Ctxt, sk):
+        ctxt = ctxt.copy()
+        ctxt.relinearize(sk)
+        ctxt.drop_special_primes()
+        self.base = ctxt
+        self.sk = sk
+        ctx = ctxt.ctx
+        parts = dict((h.powS, d) for h, d in ctxt.parts)
+        self.c0 = parts[0]
+        self.digits, self.digit_noise = rt_break_into_digits(
+            ctx, parts[1], ctxt.k)
+
+    def automorph(self, kexp: int) -> Ctxt:
+        """One rotation at ~MAC cost (reference automorph(), matmul.cpp:120)."""
+        base = self.base
+        ctx = base.ctx
+        k = base.k
+        kexp %= ctx.m
+        if kexp == 1:
+            return base.copy()
+        W = self.sk.gen_ks_matrix(SKHandle(1, kexp, 0))
+        q, _ = ctx.dev_q(k, True)
+        rows = np.array(ctx.rows_of(k, True))
+        acc0 = rt_add_special_and_scale(ctx, rt_automorph(ctx, self.c0, kexp),
+                                        k)
+        acc1 = None
+        ks_noise = NEG_INF
+        for j, Rj in enumerate(self.digits):
+            Rj_k = rt_automorph(ctx, Rj, kexp)
+            bj = W.b[j][rows, :]
+            aj = W.a[j][rows, :]
+            acc0 = rt_add(ctx, acc0, rt_mul(ctx, Rj_k, bj, k, True), k, True)
+            t1 = rt_mul(ctx, Rj_k, aj, k, True)
+            acc1 = t1 if acc1 is None else rt_add(ctx, acc1, t1, k, True)
+        noise = log2_add(base.noise + ctx.log2_special(),
+                         self.digit_noise + W.noise)
+        out = Ctxt(ctx, base.pubkey,
+                   [(SKHandle(0, 1, 0), acc0), (SKHandle(1, 1, 0), acc1)],
+                   k, True, base.ptxt_space, noise, base.intFactor)
+        out.ratFactor = base.ratFactor
+        out.ptxtMag = base.ptxtMag
+        if out.is_ckks:
+            from fractions import Fraction
+            out.ratFactor = Fraction(base.ratFactor) * ctx.prod_special()
+        return out

@@ -80,12 +80,22 @@ class MatMul1D:
                 t.mul_constant_poly(ea.encode(list(sl)))
                 acc = t if acc is None else acc.add(t)
             return acc if acc is not None else _zero_like(ctxt)
-        # BSGS
+        # BSGS; baby steps share one digit decomposition (hoisting,
+        # reference GeneralAutomorphPrecon_BSGS, matmul.cpp:186-296)
         g = max(1, int(math.isqrt(D)))
         nj = (D + g - 1) // g
+        pal = ea.ctx.pal
         baby = [ctxt]
-        for l in range(1, g):
-            baby.append(ea.rotate_1d(ctxt.copy(), self.dim, l, sk))
+        if pal.native[self.dim] and g > 2:
+            from ..nt.numbth import inv_mod
+            from .hoisting import AutomorphPrecon
+            precon = AutomorphPrecon(ctxt, sk)
+            ginv = inv_mod(pal.gens[self.dim], ea.ctx.m)
+            for l in range(1, g):
+                baby.append(precon.automorph(pow(ginv, l, ea.ctx.m)))
+        else:
+            for l in range(1, g):
+                baby.append(ea.rotate_1d(ctxt.copy(), self.dim, l, sk))
         acc = None
         for j in range(nj):
             inner = None

@@ -321,6 +321,12 @@ class Ctxt:
             ks_noise = log2_add(ks_noise, digit_noise + W.noise)
         self.parts = [(h, d) for h, d in acc.items()]
         self.k, self.special = k, True
+        from .timing import stats_update
+        if ks_noise > new_noise:
+            from .log import warning
+            warning(f"KS-noise-ratio={2.0**(ks_noise - new_noise):.2f}",
+                    once=True)
+        stats_update("KS-noise-ratio", 2.0 ** min(ks_noise - new_noise, 64.0))
         self.noise = log2_add(new_noise, ks_noise)
         if self.is_ckks:
             from fractions import Fraction

@@ -52,21 +52,34 @@ def power_table(r: int, q: int, length: int) -> np.ndarray:
     return pw[:length].astype(np.uint32)
 
 
+def _np_barrett(x: np.ndarray, q: np.ndarray, mu: np.ndarray) -> np.ndarray:
+    """x < 2^60 mod q (q in (2^29,2^30)) without u64 division (numpy u64
+    division is scalar-slow; this is ~10x faster at table-build time)."""
+    t = ((x >> np.uint64(29)) * mu) >> np.uint64(32)
+    r = x - t * q
+    r = np.where(r >= q, r - q, r)
+    return np.where(r >= q, r - q, r)
+
+
 def ntt_np(x: np.ndarray, stage_tw: list[np.ndarray], qs: np.ndarray):
     """Host numpy forward NTT (same stage structure as the device kernel);
     x [..., P, n] uint64, stage_tw[s] [P, 2^s] uint64, qs [P] uint64.
     Used only at table-build time."""
     n = x.shape[-1]
-    q = qs[:, None, None]
+    q = qs[:, None, None].astype(np.uint64)
+    mu = ((np.uint64(1) << np.uint64(61)) // q)
     x = x.astype(np.uint64)
     for s, w in enumerate(stage_tw):
         m = 1 << s
         half = n // (2 * m)
         xr = x.reshape(*x.shape[:-1], m, 2, half)
         u, v = xr[..., 0, :], xr[..., 1, :]
-        wv = v * w[..., :, None].astype(np.uint64) % q
-        x = np.stack([(u + wv) % q, (u + q - wv) % q],
-                     axis=-2).reshape(*x.shape[:-1], n)
+        wv = _np_barrett(v * w[..., :, None].astype(np.uint64), q, mu)
+        s1 = u + wv
+        s1 = np.where(s1 >= q, s1 - q, s1)
+        s2 = u + q - wv
+        s2 = np.where(s2 >= q, s2 - q, s2)
+        x = np.stack([s1, s2], axis=-2).reshape(*x.shape[:-1], n)
     return x
 
 
