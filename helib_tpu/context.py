@@ -202,28 +202,36 @@ class Context:
 
     # -- device constant tables -------------------------------------------
     def dev_q(self, k: int, special: bool):
+        import jax
         key = ("q", k, special)
         if key not in self._dev_cache:
-            qs = self.primes_of(k, special)
-            self._dev_cache[key] = (jnp.asarray(qs[:, None]),
-                                    jnp.asarray(modops.barrett_mu(qs)[:, None]))
+            with jax.ensure_compile_time_eval():
+                qs = self.primes_of(k, special)
+                self._dev_cache[key] = (
+                    jnp.asarray(qs[:, None]),
+                    jnp.asarray(modops.barrett_mu(qs)[:, None]))
         return self._dev_cache[key]
 
     def ntt_tree(self, rows: tuple):
         """NTT table pytree restricted to the given prime rows (indices into
-        all_q; ctxt primes are rows [0, L), special primes [L, L+S))."""
+        all_q; ctxt primes are rows [0, L), special primes [L, L+S)).
+
+        Cache misses may occur inside a jit trace; ensure_compile_time_eval
+        keeps the sliced tables concrete (cacheable) constants."""
+        import jax
         key = ("ntt", rows)
         if key in self._dev_cache:
             return self._dev_cache[key]
-        idx = np.array(rows, dtype=np.int64)
-        if self.pal.pow2:
-            full = self.ntt_fwd.tree()
-            sub = {kk: ([a[idx] for a in v] if isinstance(v, list) else v[idx])
-                   for kk, v in full.items()}
-            tree = {"fwd": sub, "inv": sub}
-        else:
-            tree = {"fwd": _bluestein_rows(self.ntt_fwd.dev, idx),
-                    "inv": _bluestein_rows(self.ntt_inv.dev, idx)}
+        with jax.ensure_compile_time_eval():
+            idx = np.array(rows, dtype=np.int64)
+            if self.pal.pow2:
+                full = self.ntt_fwd.tree()
+                sub = {kk: ([a[idx] for a in v] if isinstance(v, list)
+                            else v[idx]) for kk, v in full.items()}
+                tree = {"fwd": sub, "inv": sub}
+            else:
+                tree = {"fwd": _bluestein_rows(self.ntt_fwd.dev, idx),
+                        "inv": _bluestein_rows(self.ntt_inv.dev, idx)}
         self._dev_cache[key] = tree
         return tree
 

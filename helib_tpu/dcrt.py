@@ -20,6 +20,7 @@ Key TPU-first departures from the reference:
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 
 import numpy as np
@@ -182,6 +183,33 @@ def sample_uniform_residues(ctx: Context, rng: np.random.Generator,
     return jnp.asarray(rng.integers(
         0, qs[:, None].astype(np.int64), (len(qs), ctx.n_eval)
     ).astype(np.uint32))
+
+
+def sample_small_rt_dev(ctx: Context, key, k: int, special: bool):
+    """Device-side sampleSmall: coeffs in {-1,0,1} (p=1/4,1/2,1/4) sampled
+    with the jax PRNG, lifted to residues and NTT'd — the jit-able encryption
+    hot path (host RNG remains the keygen path)."""
+    import jax
+    rows = ctx.rows_of(k, special)
+    qs = jnp.asarray(ctx.all_q[np.array(rows)].astype(np.uint32)[:, None])
+    u = jax.random.randint(key, (ctx.n_eval,), 0, 4)
+    res = jnp.where(u == 0, qs - 1, jnp.where(u == 1, jnp.uint32(1),
+                                              jnp.uint32(0)).astype(jnp.uint32))
+    return ctx.fwd_ntt(res.astype(jnp.uint32), rows), ctx.noise_small(0.5)
+
+
+def sample_gaussian_rt_dev(ctx: Context, key, k: int, special: bool,
+                           mult: int = 1):
+    """Device-side rounded-Gaussian sampler, optionally scaled by `mult`."""
+    import jax
+    rows = ctx.rows_of(k, special)
+    qs = ctx.all_q[np.array(rows)].astype(np.int64)
+    sigma = ctx.eff_stdev()
+    g = jnp.round(jax.random.normal(key, (ctx.n_eval,)) * sigma
+                  ).astype(jnp.int64) * mult
+    res = (g[None, :] % jnp.asarray(qs)[:, None]).astype(jnp.uint32)
+    return (ctx.fwd_ntt(res, rows),
+            math.log2(max(mult, 1)) + ctx.noise_gaussian(sigma))
 
 
 def small_coeffs_to_rt(ctx: Context, coeffs: np.ndarray, k: int, special: bool):

@@ -63,3 +63,43 @@ def make_batched_mult_relin(ctx: Context, sk: SecKey, batch: int,
     bfn = jax.vmap(fn, in_axes=(0, 0, 0, 0))
     bex = tuple(jnp.broadcast_to(e, (batch,) + e.shape) for e in ex)
     return bfn, bex
+
+
+def make_encrypt(ctx: Context, pk):
+    """Jit-able public-key encryption: (prng_key, ptxt residues [k, N]) ->
+    two part tensors.  Device-side sampling (reference keys.cpp:633-761 with
+    the sampling moved on-chip)."""
+    from . import dcrt
+    from .dcrt import rt_mul, rt_add, rt_mul_scalar
+    k, special = ctx.L, False
+    pr = ctx.ptxt_space if ctx.scheme == "bgv" else 1
+    enc_parts = [d for _, d in pk.enc_key]
+
+    def fn(key, pt_eval):
+        import jax
+        k1, k2, k3 = jax.random.split(key, 3)
+        r, _ = dcrt.sample_small_rt_dev(ctx, k1, k, special)
+        e0, _ = dcrt.sample_gaussian_rt_dev(ctx, k2, k, special, mult=pr)
+        e1, _ = dcrt.sample_gaussian_rt_dev(ctx, k3, k, special, mult=pr)
+        c0 = rt_add(ctx, rt_mul(ctx, enc_parts[0], r, k, special), e0,
+                    k, special)
+        c1 = rt_add(ctx, rt_mul(ctx, enc_parts[1], r, k, special), e1,
+                    k, special)
+        c0 = rt_add(ctx, c0, pt_eval, k, special)
+        return c0, c1
+
+    return fn
+
+
+def fresh_noise(ctx: Context, pk) -> float:
+    """Noise bound matching make_encrypt's distribution."""
+    import math
+    from .context import log2_add
+    pr = ctx.ptxt_space if ctx.scheme == "bgv" else 1
+    noise = ctx.noise_small(0.5) + pk.enc_noise
+    e_b = math.log2(max(pr, 1)) + ctx.noise_gaussian()
+    noise = log2_add(noise, e_b)
+    noise = log2_add(noise, e_b + pk.sk_bound)
+    if ctx.scheme == "bgv":
+        noise = log2_add(noise, ctx.noise_mod(pr))
+    return noise

@@ -126,9 +126,18 @@ class LinearMapR:
                 self.terms.append((k, ck.astype(np.int64)))
 
     def apply(self, ctxt: Ctxt, sk: SecKey) -> Ctxt:
+        """Hoisted application: one digit decomposition shared by all the
+        automorphism terms (reference EvalMap's use of hoisting,
+        matmul.cpp:48-183)."""
+        from .algos.hoisting import AutomorphPrecon
+        if len(self.terms) > 2:
+            precon = AutomorphPrecon(ctxt, sk)
         acc = None
         for k, ck in self.terms:
-            t = ctxt.copy().smart_automorph(k, sk)
+            if len(self.terms) > 2:
+                t = precon.automorph(k)
+            else:
+                t = ctxt.copy().smart_automorph(k, sk)
             t.mul_constant_poly(ck)
             acc = t if acc is None else acc.add(t)
         if acc is None:
