@@ -380,9 +380,14 @@ def bluestein_apply(x, t, m: int, B: int):
     a3 = reduce_u32(a[..., None, :, :], t["aux_q"])            # [..., 3, P, m]
     pad = [(0, 0)] * (a3.ndim - 1) + [(0, B - m)]
     ap = jnp.pad(a3, pad)
-    A = ntt_pow2_fwd(ap, t["aux"])
-    Pr = mul_mod_shoup(A, t["khat"], t["khat_sh"], t["aux_q"])
-    p = ntt_pow2_inv(Pr, t["aux"])                             # [..., 3, P, B]
+    if _pallas_enabled() and B >= 8192 and "tw_cat" in t["aux"]:
+        # fully fused NTT -> pointwise khat -> iNTT in one VMEM kernel
+        from .pallas_ntt import apply_conv
+        p = apply_conv(ap, t["aux"], t["khat"], t["khat_sh"], t["aux_q"])
+    else:
+        A = ntt_pow2_fwd(ap, t["aux"])
+        Pr = mul_mod_shoup(A, t["khat"], t["khat_sh"], t["aux_q"])
+        p = ntt_pow2_inv(Pr, t["aux"])                         # [..., 3, P, B]
     y = mul_mod_shoup(p, t["yt_inv"], t["yt_inv_sh"], t["aux_q"])
     alpha = jnp.floor(jnp.sum(y.astype(jnp.float32) * t["inv_r_f32"], axis=-3)
                       + jnp.float32(0.25)).astype(U32)         # [..., P, B]

@@ -166,6 +166,132 @@ def pallas_ntt(x, tw_cat, tsh_cat, fine_cat, fsh_cat, q, *, n: int,
     )(x, tw_c, tsh_c, fine_cat, fsh_cat, q)
 
 
+def _conv_kernel(x_ref, tw_ref, tsh_ref, fine_ref, fsh_ref,
+                 itw_ref, itsh_ref, ifine_ref, ifsh_ref,
+                 kh_ref, khsh_ref, q_ref, o_ref, *, n: int):
+    """Cyclic convolution with a precomputed spectral kernel, fully fused:
+    iNTT(NTT(x) ⊙ khat) without leaving VMEM (the Bluestein hot path)."""
+    x = x_ref[:]
+    q = q_ref[:]
+    R = x.shape[0]
+    stages = n.bit_length() - 1
+    A = n // LANE
+    coarse = stages - 7
+
+    def stage_pair(x, s, wseg, wsegsh, inverse):
+        m = 1 << s
+        half = n // (2 * m)
+        xr = x.reshape(R, m, 2, half)
+        u, v = xr[:, :, 0, :], xr[:, :, 1, :]
+        qq = q[:, :, None]
+        w = wseg[:, :, None]
+        wsh = wsegsh[:, :, None]
+        if not inverse:
+            wv = _shoup_mul(v, w, wsh, qq)
+            out = jnp.stack([_csub(u + wv, qq), _csub(u + qq - wv, qq)],
+                            axis=2)
+        else:
+            uu = _csub(u + v, qq)
+            d = _csub(u + qq - v, qq)
+            vv = _shoup_mul(d, w, wsh, qq)
+            out = jnp.stack([uu, vv], axis=2)
+        return out.reshape(R, n)
+
+    def fstage(xt, s, fref, fsref, inverse):
+        m = 1 << s
+        half = n // (2 * m)
+        g2 = LANE // (2 * half)
+        w = fref[:, m:2 * m].reshape(R, g2, 1, A)
+        wsh = fsref[:, m:2 * m].reshape(R, g2, 1, A)
+        xr = xt.reshape(R, g2, 2, half, A)
+        u, v = xr[:, :, 0], xr[:, :, 1]
+        qq = q[:, :, None, None]
+        if not inverse:
+            wv = _shoup_mul(v, w, wsh, qq)
+            out = jnp.stack([_csub(u + wv, qq), _csub(u + qq - wv, qq)],
+                            axis=2)
+        else:
+            uu = _csub(u + v, qq)
+            d = _csub(u + qq - v, qq)
+            vv = _shoup_mul(d, w, wsh, qq)
+            out = jnp.stack([uu, vv], axis=2)
+        return out.reshape(R, LANE, A)
+
+    # forward
+    for s in range(coarse):
+        m = 1 << s
+        x = stage_pair(x, s, tw_ref[:, m:2 * m], tsh_ref[:, m:2 * m], False)
+    xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)
+    for s in range(coarse, stages):
+        xt = fstage(xt, s, fine_ref, fsh_ref, False)
+    x = jnp.swapaxes(xt, 1, 2).reshape(R, n)
+    # pointwise with the spectral kernel
+    x = _shoup_mul(x, kh_ref[:], khsh_ref[:], q)
+    # inverse
+    xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)
+    for s in reversed(range(coarse, stages)):
+        xt = fstage(xt, s, ifine_ref, ifsh_ref, True)
+    x = jnp.swapaxes(xt, 1, 2).reshape(R, n)
+    for s in reversed(range(coarse)):
+        m = 1 << s
+        x = stage_pair(x, s, itw_ref[:, m:2 * m], itsh_ref[:, m:2 * m], True)
+    x = _shoup_mul(x, itw_ref[:, 0:1], itsh_ref[:, 0:1], q)
+    o_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def pallas_conv(x, tw, tsh, fine, fsh, itw, itsh, ifine, ifsh, kh, khsh, q,
+                *, n: int, interpret: bool = False):
+    P = x.shape[0]
+    assert P % ROW_BLOCK == 0
+    grid = (P // ROW_BLOCK,)
+    ncoarse = max(n // LANE, 2)
+    kern = functools.partial(_conv_kernel, n=n)
+    zero = np.int32(0)
+    bs = lambda w: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, zero),
+                                memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bs(n), bs(ncoarse), bs(ncoarse), bs(n), bs(n),
+                  bs(ncoarse), bs(ncoarse), bs(n), bs(n),
+                  bs(n), bs(n), bs(1)],
+        out_specs=bs(n),
+        out_shape=jax.ShapeDtypeStruct((P, n), jnp.uint32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, tw[:, :ncoarse], tsh[:, :ncoarse], fine, fsh,
+      itw[:, :ncoarse], itsh[:, :ncoarse], ifine, ifsh, kh, khsh, q)
+
+
+def apply_conv(x, tree, kh, khsh, q, interpret: bool = False):
+    """Fused spectral convolution; tables from an ops.ntt tree; kh/khsh/q
+    broadcastable to x."""
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+
+    def prep(a, w):
+        return jnp.broadcast_to(a, lead + (w,)).reshape(-1, w)
+
+    xf = x.reshape(-1, n)
+    args = [prep(tree["tw_cat"], n), prep(tree["tw_cat_sh"], n),
+            prep(tree["tw_fine"], n), prep(tree["tw_fine_sh"], n),
+            prep(tree["itw_cat"], n), prep(tree["itw_cat_sh"], n),
+            prep(tree["itw_fine"], n), prep(tree["itw_fine_sh"], n),
+            prep(kh, n), prep(khsh, n), prep(q, 1)]
+    P = xf.shape[0]
+    pad = (-P) % ROW_BLOCK
+    if pad:
+        ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)), mode="edge")
+        xf = ext(xf)
+        args = [ext(a) for a in args]
+    out = pallas_conv(xf, *args, n=n, interpret=interpret)
+    if pad:
+        out = out[:P]
+    return out.reshape(*lead, n)
+
+
 # ---------------------------------------------------------------------------
 # wrapper: flatten leading dims into rows, pad to the row block
 # ---------------------------------------------------------------------------

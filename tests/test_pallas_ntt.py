@@ -42,6 +42,30 @@ def test_pallas_matches_jnp(n, negacyclic):
     np.testing.assert_array_equal(got_inv, ref_inv)
 
 
+def test_pallas_fused_conv():
+    """Fused NTT->pointwise->iNTT kernel == three-step reference."""
+    from helib_tpu.ops import modops
+    from helib_tpu.ops.pallas_ntt import apply_conv
+    n = 512
+    qs = np.array(gen_primes(n, 3), dtype=np.uint32)
+    t = Pow2NTT(qs, n, negacyclic=False)
+    tree = t.tree()
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.integers(0, qs[:, None].astype(np.int64),
+                                 (len(qs), n)).astype(np.uint32))
+    kh = rng.integers(0, qs[:, None].astype(np.int64),
+                      (len(qs), n)).astype(np.uint32)
+    khsh = modops.shoup(kh, qs[:, None].astype(np.uint64))
+    nttmod.USE_PALLAS = False
+    A = ntt_pow2_fwd(x, tree)
+    q = tree["q"]
+    Pr = modops.mul_mod_shoup(A, jnp.asarray(kh), jnp.asarray(khsh), q)
+    ref = np.asarray(ntt_pow2_inv(Pr, tree))
+    got = np.asarray(apply_conv(x, tree, jnp.asarray(kh), jnp.asarray(khsh),
+                                q, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_pallas_padding_and_batch():
     n = 256
     qs = np.array(gen_primes(2 * n, 3), dtype=np.uint32)
