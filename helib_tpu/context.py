@@ -263,6 +263,24 @@ class Context:
                 f"r={self.r}, L={self.L}, S={self.S}, c={self.c}, "
                 f"log2Q={self.log2_q(self.L):.1f}, {self.pal!r})")
 
+    def printout(self, file=None):
+        """Human-readable parameter dump (reference Context::printout,
+        Context.cpp:637)."""
+        import sys
+        from .security import context_security
+        f = file or sys.stdout
+        pal = self.pal
+        print(f"m = {self.m}, p = {self.p}, phi(m) = {self.phi_m}", file=f)
+        print(f"  ord(p) = {pal.d}, nslots = {pal.nslots}", file=f)
+        print(f"  gens = {pal.gens}, orders = {pal.orders}, "
+              f"native = {pal.native}", file=f)
+        print(f"  ctxt primes: {self.L} x ~{PRIME_BITS}b "
+              f"(log2 Q = {self.log2_q(self.L):.1f})", file=f)
+        print(f"  special primes: {self.S} (log2 P = "
+              f"{self.log2_special():.1f})", file=f)
+        print(f"  digits: {self.digits}", file=f)
+        print(f"  security ~= {context_security(self):.1f}", file=f)
+
 
 def _bluestein_rows(dev: dict, idx: np.ndarray) -> dict:
     """Restrict Bluestein device tables to a subset of prime rows."""

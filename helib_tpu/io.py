@@ -192,6 +192,43 @@ def read_pubkey(f, ctx: Context, sk: SecKey | None = None) -> PubKey:
     return pk
 
 
+# JSON forms (reference writeToJSON/readFromJSON; arrays base64-embedded) ----
+
+import base64 as _b64
+
+
+def ctxt_to_json(ct: Ctxt) -> str:
+    rf = Fraction(ct.ratFactor)
+    return json.dumps({
+        "type": "Ctxt", "k": ct.k, "special": ct.special,
+        "ptxt_space": ct.ptxt_space, "noise": ct.noise,
+        "intFactor": ct.intFactor,
+        "ratFactor": [str(rf.numerator), str(rf.denominator)],
+        "ptxtMag": ct.ptxtMag,
+        "parts": [{"handle": [h.powS, h.powX, h.keyID],
+                   "shape": list(np.asarray(d).shape),
+                   "data": _b64.b64encode(
+                       np.ascontiguousarray(np.asarray(d), dtype=np.uint32)
+                       .tobytes()).decode()}
+                  for h, d in ct.parts]})
+
+
+def ctxt_from_json(s: str, ctx: Context, pubkey: PubKey) -> Ctxt:
+    import jax.numpy as jnp
+    d = json.loads(s)
+    assert d["type"] == "Ctxt"
+    parts = []
+    for p in d["parts"]:
+        arr = np.frombuffer(_b64.b64decode(p["data"]),
+                            dtype=np.uint32).reshape(p["shape"])
+        parts.append((SKHandle(*p["handle"]), jnp.asarray(arr)))
+    ct = Ctxt(ctx, pubkey, parts, d["k"], d["special"], d["ptxt_space"],
+              d["noise"], d["intFactor"])
+    ct.ratFactor = Fraction(int(d["ratFactor"][0]), int(d["ratFactor"][1]))
+    ct.ptxtMag = d["ptxtMag"]
+    return ct
+
+
 # convenience byte-level APIs ------------------------------------------------
 
 def to_bytes(write_fn, *args) -> bytes:

@@ -67,74 +67,92 @@ def _shoup_mul(a, w, wsh, q):
     return jnp.where(r >= q, r - q, r)
 
 
+def _shoup_lazy(a, w, wsh, q):
+    """Lazy Shoup multiply: result in [0, 2q) for any uint32 a (Harvey)."""
+    return a * w - _mulhi32(a, wsh) * q
+
+
 def _csub(v, q):
     return jnp.where(v >= q, v - q, v)
 
 
-def _ntt_kernel(x_ref, tw_ref, tsh_ref, fine_ref, fsh_ref, q_ref, o_ref, *,
-                n: int, inverse: bool):
-    x = x_ref[:]                       # [R, n]
-    q = q_ref[:]                       # [R, 1]
-    R = x.shape[0]
+# Lazy-reduction butterflies (Harvey): forward keeps values < 4q, inverse
+# keeps values < 2q; full reduction happens once at kernel exit.
+
+def _fwd_pass(x, q, R, n, tw_ref, tsh_ref, fine_ref, fsh_ref):
+    """All forward stages; input < 2q, output < 4q (lazy)."""
     stages = n.bit_length() - 1
     A = n // LANE
-    coarse = stages - 7                # stages with half >= LANE
-
-    def coarse_stage(x, s):
+    coarse = stages - 7
+    for s in range(coarse):
         m = 1 << s
         half = n // (2 * m)
-        w = tw_ref[:, m:2 * m]
-        wsh = tsh_ref[:, m:2 * m]
-        xr = x.reshape(R, m, 2, half)
-        u, v = xr[:, :, 0, :], xr[:, :, 1, :]
+        w = tw_ref[:, m:2 * m][:, :, None]
+        wsh = tsh_ref[:, m:2 * m][:, :, None]
         qq = q[:, :, None]
-        if not inverse:
-            wv = _shoup_mul(v, w[:, :, None], wsh[:, :, None], qq)
-            out = jnp.stack([_csub(u + wv, qq), _csub(u + qq - wv, qq)],
-                            axis=2)
-        else:
-            uu = _csub(u + v, qq)
-            d = _csub(u + qq - v, qq)
-            vv = _shoup_mul(d, w[:, :, None], wsh[:, :, None], qq)
-            out = jnp.stack([uu, vv], axis=2)
-        return out.reshape(R, n)
-
-    def fine_stage(xt, s):
-        # xt: [R, LANE, A]; butterflies along the LANE axis
+        xr = x.reshape(R, m, 2, half)
+        u = _csub(xr[:, :, 0, :], 2 * qq)
+        t = _shoup_lazy(xr[:, :, 1, :], w, wsh, qq)
+        x = jnp.stack([u + t, u + 2 * qq - t], axis=2).reshape(R, n)
+    xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)     # [R, LANE, A]
+    for s in range(coarse, stages):
         m = 1 << s
-        half = n // (2 * m)            # < LANE
+        half = n // (2 * m)
         g2 = LANE // (2 * half)
         w = fine_ref[:, m:2 * m].reshape(R, g2, 1, A)
         wsh = fsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
-        xr = xt.reshape(R, g2, 2, half, A)
-        u, v = xr[:, :, 0], xr[:, :, 1]          # [R, g2, half, A]
         qq = q[:, :, None, None]
-        if not inverse:
-            wv = _shoup_mul(v, w, wsh, qq)
-            out = jnp.stack([_csub(u + wv, qq), _csub(u + qq - wv, qq)],
-                            axis=2)
-        else:
-            uu = _csub(u + v, qq)
-            d = _csub(u + qq - v, qq)
-            vv = _shoup_mul(d, w, wsh, qq)
-            out = jnp.stack([uu, vv], axis=2)
-        return out.reshape(R, LANE, A)
+        xr = xt.reshape(R, g2, 2, half, A)
+        u = _csub(xr[:, :, 0], 2 * qq)
+        t = _shoup_lazy(xr[:, :, 1], w, wsh, qq)
+        xt = jnp.stack([u + t, u + 2 * qq - t], axis=2).reshape(R, LANE, A)
+    return jnp.swapaxes(xt, 1, 2).reshape(R, n)
 
+
+def _inv_pass(x, q, R, n, itw_ref, itsh_ref, ifine_ref, ifsh_ref):
+    """All inverse stages + n^{-1}; input < 2q, output < 2q (lazy)."""
+    stages = n.bit_length() - 1
+    A = n // LANE
+    coarse = stages - 7
+    xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)
+    for s in reversed(range(coarse, stages)):
+        m = 1 << s
+        half = n // (2 * m)
+        g2 = LANE // (2 * half)
+        w = ifine_ref[:, m:2 * m].reshape(R, g2, 1, A)
+        wsh = ifsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
+        qq = q[:, :, None, None]
+        xr = xt.reshape(R, g2, 2, half, A)
+        a, b = xr[:, :, 0], xr[:, :, 1]
+        u = _csub(a + b, 2 * qq)
+        v = _shoup_lazy(a + 2 * qq - b, w, wsh, qq)
+        xt = jnp.stack([u, v], axis=2).reshape(R, LANE, A)
+    x = jnp.swapaxes(xt, 1, 2).reshape(R, n)
+    for s in reversed(range(coarse)):
+        m = 1 << s
+        half = n // (2 * m)
+        w = itw_ref[:, m:2 * m][:, :, None]
+        wsh = itsh_ref[:, m:2 * m][:, :, None]
+        qq = q[:, :, None]
+        xr = x.reshape(R, m, 2, half)
+        a, b = xr[:, :, 0, :], xr[:, :, 1, :]
+        u = _csub(a + b, 2 * qq)
+        v = _shoup_lazy(a + 2 * qq - b, w, wsh, qq)
+        x = jnp.stack([u, v], axis=2).reshape(R, n)
+    return _shoup_lazy(x, itw_ref[:, 0:1], itsh_ref[:, 0:1], q)  # * n^{-1}
+
+
+def _ntt_kernel(x_ref, tw_ref, tsh_ref, fine_ref, fsh_ref, q_ref, o_ref, *,
+                n: int, inverse: bool):
+    x = x_ref[:]                       # [R, n], fully reduced on entry
+    q = q_ref[:]                       # [R, 1]
+    R = x.shape[0]
     if not inverse:
-        for s in range(coarse):
-            x = coarse_stage(x, s)
-        xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)     # [R, LANE, A]
-        for s in range(coarse, stages):
-            xt = fine_stage(xt, s)
-        x = jnp.swapaxes(xt, 1, 2).reshape(R, n)
+        x = _fwd_pass(x, q, R, n, tw_ref, tsh_ref, fine_ref, fsh_ref)
+        x = _csub(_csub(x, 2 * q), q)
     else:
-        xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)
-        for s in reversed(range(coarse, stages)):
-            xt = fine_stage(xt, s)
-        x = jnp.swapaxes(xt, 1, 2).reshape(R, n)
-        for s in reversed(range(coarse)):
-            x = coarse_stage(x, s)
-        x = _shoup_mul(x, tw_ref[:, 0:1], tsh_ref[:, 0:1], q)   # * n^{-1}
+        x = _inv_pass(x, q, R, n, tw_ref, tsh_ref, fine_ref, fsh_ref)
+        x = _csub(x, q)
     o_ref[:] = x
 
 
@@ -170,73 +188,16 @@ def _conv_kernel(x_ref, tw_ref, tsh_ref, fine_ref, fsh_ref,
                  itw_ref, itsh_ref, ifine_ref, ifsh_ref,
                  kh_ref, khsh_ref, q_ref, o_ref, *, n: int):
     """Cyclic convolution with a precomputed spectral kernel, fully fused:
-    iNTT(NTT(x) ⊙ khat) without leaving VMEM (the Bluestein hot path)."""
+    iNTT(NTT(x) ⊙ khat) without leaving VMEM (the Bluestein hot path).
+    Lazy reductions throughout: fwd < 4q -> khat shoup (any u32) < 2q ->
+    inverse < 2q -> one final csub."""
     x = x_ref[:]
     q = q_ref[:]
     R = x.shape[0]
-    stages = n.bit_length() - 1
-    A = n // LANE
-    coarse = stages - 7
-
-    def stage_pair(x, s, wseg, wsegsh, inverse):
-        m = 1 << s
-        half = n // (2 * m)
-        xr = x.reshape(R, m, 2, half)
-        u, v = xr[:, :, 0, :], xr[:, :, 1, :]
-        qq = q[:, :, None]
-        w = wseg[:, :, None]
-        wsh = wsegsh[:, :, None]
-        if not inverse:
-            wv = _shoup_mul(v, w, wsh, qq)
-            out = jnp.stack([_csub(u + wv, qq), _csub(u + qq - wv, qq)],
-                            axis=2)
-        else:
-            uu = _csub(u + v, qq)
-            d = _csub(u + qq - v, qq)
-            vv = _shoup_mul(d, w, wsh, qq)
-            out = jnp.stack([uu, vv], axis=2)
-        return out.reshape(R, n)
-
-    def fstage(xt, s, fref, fsref, inverse):
-        m = 1 << s
-        half = n // (2 * m)
-        g2 = LANE // (2 * half)
-        w = fref[:, m:2 * m].reshape(R, g2, 1, A)
-        wsh = fsref[:, m:2 * m].reshape(R, g2, 1, A)
-        xr = xt.reshape(R, g2, 2, half, A)
-        u, v = xr[:, :, 0], xr[:, :, 1]
-        qq = q[:, :, None, None]
-        if not inverse:
-            wv = _shoup_mul(v, w, wsh, qq)
-            out = jnp.stack([_csub(u + wv, qq), _csub(u + qq - wv, qq)],
-                            axis=2)
-        else:
-            uu = _csub(u + v, qq)
-            d = _csub(u + qq - v, qq)
-            vv = _shoup_mul(d, w, wsh, qq)
-            out = jnp.stack([uu, vv], axis=2)
-        return out.reshape(R, LANE, A)
-
-    # forward
-    for s in range(coarse):
-        m = 1 << s
-        x = stage_pair(x, s, tw_ref[:, m:2 * m], tsh_ref[:, m:2 * m], False)
-    xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)
-    for s in range(coarse, stages):
-        xt = fstage(xt, s, fine_ref, fsh_ref, False)
-    x = jnp.swapaxes(xt, 1, 2).reshape(R, n)
-    # pointwise with the spectral kernel
-    x = _shoup_mul(x, kh_ref[:], khsh_ref[:], q)
-    # inverse
-    xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)
-    for s in reversed(range(coarse, stages)):
-        xt = fstage(xt, s, ifine_ref, ifsh_ref, True)
-    x = jnp.swapaxes(xt, 1, 2).reshape(R, n)
-    for s in reversed(range(coarse)):
-        m = 1 << s
-        x = stage_pair(x, s, itw_ref[:, m:2 * m], itsh_ref[:, m:2 * m], True)
-    x = _shoup_mul(x, itw_ref[:, 0:1], itsh_ref[:, 0:1], q)
-    o_ref[:] = x
+    x = _fwd_pass(x, q, R, n, tw_ref, tsh_ref, fine_ref, fsh_ref)
+    x = _shoup_lazy(x, kh_ref[:], khsh_ref[:], q)
+    x = _inv_pass(x, q, R, n, itw_ref, itsh_ref, ifine_ref, ifsh_ref)
+    o_ref[:] = _csub(x, q)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))

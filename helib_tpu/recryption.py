@@ -367,6 +367,99 @@ def thin_recrypt(ctxt: Ctxt, rc: RecryptData, sk: SecKey) -> Ctxt:
     return out
 
 
+class FatRecryptData(RecryptData):
+    """Packed (fat) bootstrapping data (reference RecryptData::init,
+    recryption.cpp:367-545): firstMap packs coefficients d-per-slot into the
+    extension-field slots, secondMap is its inverse, and digit extraction
+    runs on intraSlot-unpacked parts."""
+
+    def __init__(self, ctx: Context, sk: SecKey, ea: EncryptedArray,
+                 hwt: int = 16):
+        super().__init__(ctx, sk, ea, hwt)
+        phi, d, n = ctx.phi_m, ea.d, ea.nslots
+        assert n * d == phi
+        # firstMap (mod big space): X^{t*d+i} -> slot-t unit carrying Y^i
+        img_first: dict[int, np.ndarray] = {}
+        for t in range(n):
+            for i in range(d):
+                slots = [0] * n
+                vec = np.zeros(d, dtype=np.int64)
+                vec[i] = 1
+                slots[t] = vec
+                img_first[t * d + i] = self.ea_big.encode(slots)
+        self.first_map = LinearMapR(self.ea_big, img_first)
+        # secondMap (mod p^r): slots (packed coeffs) -> coefficient vector
+        img_second: dict[int, np.ndarray] = {}
+        for j in range(phi):
+            dec = ea.decode(_onehot_poly(phi, j))
+            out = np.zeros(phi, dtype=np.int64)
+            for t in range(n):
+                for i in range(d):
+                    out[t * d + i] = int(dec[t][i]) % ea.pr
+            # L2(X^j) = sum_{t,i} coeff-of-Y^i-in-slot-t(X^j) * X^{t*d+i}
+            if np.any(out):
+                img_second[j] = out
+        self.second_map = LinearMapR(ea, img_second)
+        # intraSlot unpack encodings over the big space
+        from .algos.linpoly import projection_maps
+        self.unpack_maps = projection_maps(self.ea_big)
+
+
+def _onehot_poly(n: int, j: int) -> np.ndarray:
+    v = np.zeros(n, dtype=np.int64)
+    v[j] = 1
+    return v
+
+
+def fat_recrypt(ctxt: Ctxt, rc: FatRecryptData, sk: SecKey) -> Ctxt:
+    """Reference PubKey::reCrypt (recryption.cpp:367-545): bootstrap a
+    ciphertext with FULLY PACKED slots."""
+    ctx = rc.ctx
+    ea = rc.ea
+    p, r = ctx.p, ctx.r
+    e, ePrime = rc.e, rc.ePrime
+    q = rc.q
+    intF = ctxt.intFactor
+
+    ct = ctxt.copy()
+    ct.relinearize(sk)
+    ct.drop_special_primes()
+    ct.bring_to_k(min(ct.k, 3))
+
+    zz = raw_mod_switch(ct, q)
+    p2ep = p**ePrime
+    zz = [make_divisible(z, p2ep, q) for z in zz]
+    zz = [z // p2ep for z in zz]
+
+    out = rc.ekey.copy()
+    out.mul_constant_poly(zz[1], mag=ctx.noise_uniform(math.log2(max(q, 2))))
+    out.add_constant_poly(zz[0])
+
+    # coefficients -> packed slots
+    out = rc.first_map.apply(out, sk)
+
+    # unpack -> digit-extract each -> repack (reference extractDigitsPacked,
+    # recryption.cpp:550-646)
+    from .algos.linpoly import apply_linearized
+    parts = [apply_linearized(rc.ea_big, out, cs, sk)
+             for cs in rc.unpack_maps]
+    cleaned = [extract_digits_thin(pt, e - ePrime, r, ePrime, sk)
+               for pt in parts]
+    acc = None
+    for i, ci in enumerate(cleaned):
+        yi = np.zeros(ea.d, dtype=np.int64)
+        yi[i] = 1
+        t = ci.copy()
+        t.mul_constant_poly(ea.encode([yi] * ea.nslots))
+        acc = t if acc is None else acc.add(t)
+
+    # packed slots -> coefficients (restores the original ring element)
+    acc = rc.second_map.apply(acc, sk)
+    if intF != 1:
+        acc.intFactor = acc.intFactor * intF % acc.ptxt_space
+    return acc
+
+
 def extract_digits_thin(ctxt: Ctxt, bot_high: int, r: int, e_prime: int,
                         sk: SecKey) -> Ctxt:
     """Reference extractDigitsThin (recryption.cpp:793), basic branch."""

@@ -42,6 +42,25 @@ def test_linear_maps_roundtrip(setup):
     np.testing.assert_array_equal(ea.decrypt_ints(ct3, sk), slots)
 
 
+@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
+                    reason="fat bootstrap e2e is slow; set HELIB_RUN_SLOW=1")
+def test_fat_recrypt(setup):
+    """Reference GTestFatboot: bootstrap with FULLY PACKED slots."""
+    from helib_tpu.recryption import FatRecryptData, fat_recrypt
+    ctx, sk, pk, ea, rc, rng = setup
+    frc = FatRecryptData(ctx, sk, ea, hwt=16)
+    slots = [rng.integers(0, ctx.ptxt_space, ea.d) for _ in range(ea.nslots)]
+    ct = pk.encrypt_bgv(ea.encode(slots), rng)
+    low = ct.copy()
+    low.bring_to_k(3)
+    out = fat_recrypt(low, frc, sk)
+    assert out.is_correct(), out.capacity()
+    dec = ea.decode(sk.decrypt_bgv(out))
+    for a, b in zip(dec, slots):
+        np.testing.assert_array_equal(a, np.asarray(b) % ctx.ptxt_space)
+    assert out.capacity() > low.capacity() + 30
+
+
 def test_thin_recrypt(setup):
     ctx, sk, pk, ea, rc, rng = setup
     slots = rng.integers(0, ctx.ptxt_space, ea.nslots)
