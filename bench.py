@@ -40,20 +40,26 @@ def main():
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
-    # steady-state timing
-    iters = 5
-    jax.block_until_ready(jfn(*args))
+    # steady-state timing: chain outputs into the next call so every
+    # execution has fresh inputs (defeats any result caching in the runtime)
+    # while staying pipelined (no per-call host sync, which would measure
+    # host<->TPU latency instead of device throughput).
+    def chain(n):
+        c0, c1 = args[0], args[1]
+        o0, o1 = jfn(c0, c1, args[2], args[3])
+        for _ in range(n - 1):
+            o0, o1 = jfn(o0, o1, args[2], args[3])
+        jax.block_until_ready((o0, o1))
+
+    chain(3)                      # warm-up
+    iters = 10
     t0 = time.time()
-    for _ in range(iters):
-        out = jfn(*args)
-    jax.block_until_ready(out)
+    chain(iters)
     per_op = (time.time() - t0) / iters
-    if per_op < 0.25:
-        iters = max(10, int(2.0 / per_op))
+    if per_op < 0.2:
+        iters = max(20, int(3.0 / per_op))
         t0 = time.time()
-        for _ in range(iters):
-            out = jfn(*args)
-        jax.block_until_ready(out)
+        chain(iters)
         per_op = (time.time() - t0) / iters
 
     ops_per_s = 1.0 / per_op
