@@ -117,6 +117,76 @@ class MatMul1D:
         return acc if acc is not None else _zero_like(ctxt)
 
 
+class BlockMatMul1D:
+    """D x D matrix of d x d blocks acting on the slot EXTENSION FIELD
+    along one dimension (reference BlockMatMul1D/BlockMatMul1DExec,
+    matmul.h:119-183, matmul.cpp:1697).
+
+    get(i, j) -> d x d integer matrix over Z_{p^r}: the Fp-linear map applied
+    to the slot value moving from coordinate j to i.  Each rotation amount is
+    applied as a linearized polynomial sum_f c_f * sigma^{p^f} with per-slot
+    constants."""
+
+    def __init__(self, ea, dim: int, get):
+        self.ea = ea
+        self.dim = dim
+        self.get = get
+        self.D = ea.ctx.pal.orders[dim]
+
+    def _lin_coeffs_for(self, i: int):
+        """Per-slot linearized-poly coefficient vectors for rotation i:
+        returns list over f < d of encoded constant polys (or None)."""
+        from .linpoly import lin_poly_coeffs
+        ea, pal = self.ea, self.ea.ctx.pal
+        d = ea.d
+        per_slot: list = []
+        any_nz = False
+        for s in range(ea.nslots):
+            e = pal.coords(s)[self.dim]
+            M = np.asarray(self.get(e, (e - i) % self.D), dtype=np.int64) % ea.pr
+            if not M.any():
+                per_slot.append(None)
+                continue
+            any_nz = True
+            images = [M[:, k2] for k2 in range(d)]   # image of basis Y^k
+            per_slot.append(lin_poly_coeffs(ea, images))
+        if not any_nz:
+            return None
+        out = []
+        d_ = ea.d
+        for f in range(d_):
+            slots = []
+            nz = False
+            for s in range(ea.nslots):
+                if per_slot[s] is None:
+                    slots.append(np.zeros(d_, dtype=np.int64))
+                else:
+                    c = per_slot[s][f]
+                    slots.append(np.asarray(c, dtype=np.int64))
+                    nz = nz or bool(np.asarray(c).any())
+            out.append(self.ea.encode(slots) if nz else None)
+        return out
+
+    def apply(self, ctxt, sk):
+        ea = self.ea
+        acc = None
+        for i in range(self.D):
+            encs = self._lin_coeffs_for(i)
+            if encs is None:
+                continue
+            rot = ea.rotate_1d(ctxt.copy(), self.dim, i, sk) if i else ctxt
+            frob = rot
+            for f, enc in enumerate(encs):
+                if f > 0:
+                    frob = frob.copy().frobenius(1, sk)
+                if enc is None or not np.any(enc):
+                    continue
+                t = frob.copy()
+                t.mul_constant_poly(enc)
+                acc = t if acc is None else acc.add(t)
+        return acc if acc is not None else _zero_like(ctxt)
+
+
 class MatMulFull:
     """phi(m)/d x phi(m)/d matrix over ALL slots: composition of 1D matmuls
     (reference MatMulFullExec, matmul.cpp:2254)."""

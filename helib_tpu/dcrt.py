@@ -75,7 +75,8 @@ def _scalar_consts_np(ctx_id, value, k, special):
 def _scalar_consts(ctx: Context, value: int, k: int, special: bool):
     w, wsh = _scalar_consts_np(_ctx_id(ctx), value, k, special)
     q, _ = ctx.dev_q(k, special)
-    return jnp.asarray(w), jnp.asarray(wsh), q
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(w), jnp.asarray(wsh), q
 
 
 def rt_automorph(ctx: Context, a, kexp: int):
@@ -288,8 +289,11 @@ def rt_scale_down(ctx: Context, data, k: int, special: bool,
     keep_pos = [old_rows.index(r) for r in new_rows]
     drop_pos = [old_rows.index(r) for r in drop_rows]
 
-    cst = _drop_consts(_ctx_id(ctx), drop_rows, tuple(new_rows), ptxt_space)
-    d_q = jnp.asarray(ctx.all_q[np.array(drop_rows)].astype(np.uint32)[:, None])
+    with jax.ensure_compile_time_eval():
+        cst = _drop_consts(_ctx_id(ctx), drop_rows, tuple(new_rows),
+                           ptxt_space)
+        d_q = jnp.asarray(
+            ctx.all_q[np.array(drop_rows)].astype(np.uint32)[:, None])
     t_q, t_mu = ctx.dev_q(new_k, new_special)
 
     x_eval = data[..., jnp.asarray(np.array(drop_pos)), :]
@@ -405,7 +409,8 @@ def rt_break_into_digits(ctx: Context, data, k: int):
     R_j with data ≡ sum_j B_j R_j (mod Q_k), B_j = full digit products.
     """
     from .context import log2_sum
-    consts = _digit_consts(_ctx_id(ctx), k)
+    with jax.ensure_compile_time_eval():
+        consts = _digit_consts(_ctx_id(ctx), k)
     all_rows = ctx.rows_of(k, True)
     t_q, _ = ctx.dev_q(k, True)
     cur = data                                  # running value on [k] rows

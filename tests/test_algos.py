@@ -104,6 +104,33 @@ def test_matmul_1d(setup, bsgs):
     np.testing.assert_array_equal(got, expect)
 
 
+def test_block_matmul_1d(setup):
+    """BlockMatMul1D: d x d blocks over the slot extension field
+    (reference GTestMatmul block variants)."""
+    from helib_tpu.algos.matmul import BlockMatMul1D
+    ctx, sk, pk, ea, rng = setup
+    pr, d = ctx.ptxt_space, ea.d
+    dim = 0
+    D = ctx.pal.orders[dim]
+    blocks = rng.integers(0, pr, (D, D, d, d))
+    bm = BlockMatMul1D(ea, dim, lambda i, j: blocks[i, j])
+    slots = [rng.integers(0, pr, d) for _ in range(ea.nslots)]
+    ct = ea.encrypt(slots, pk, rng)
+    out = bm.apply(ct, sk)
+    assert out.is_correct(), out.capacity()
+    got = ea.decrypt(out, sk)
+    pal = ctx.pal
+    for s in range(ea.nslots):
+        e = pal.coords(s)[dim]
+        expect = np.zeros(d, dtype=np.int64)
+        for j in range(D):
+            cs = list(pal.coords(s))
+            cs[dim] = j
+            src = np.asarray(slots[pal.slot_index(cs)])
+            expect = (expect + blocks[e, j] @ src) % pr
+        np.testing.assert_array_equal(got[s] % pr, expect, err_msg=str(s))
+
+
 def test_matmul_full(setup):
     ctx, sk, pk, ea, rng = setup
     pr = ctx.ptxt_space
