@@ -103,3 +103,21 @@ def test_conjugate(setup):
     ct = ea.encrypt(z, pk, rng)
     ct.conjugate(sk)
     assert dist(ea.decrypt(ct, sk), np.conj(z)) < 1e-3
+
+
+def test_matmul_ckks():
+    """MatMul_CKKS diagonal method (reference TestMatmulCKKS)."""
+    from helib_tpu.algos.matmul_ckks import MatMulCKKS
+    ctx = Context(m=64, p=-1, r=30, bits=240, c=3, scheme="ckks")
+    sk = SecKey(ctx, seed=29)
+    pk = PubKey(sk)
+    ea = EncryptedArrayCKKS(ctx)
+    rng = np.random.default_rng(31)
+    n = ea.nslots
+    M = rng.uniform(-1, 1, (n, n))
+    mm = MatMulCKKS(ea, lambda i, j: M[i, j])
+    z = rand_slots(ea, rng)
+    ct = ea.encrypt(z, pk, rng)
+    out = mm.apply(ct, sk)
+    got = ea.decrypt(out, sk)
+    assert dist(got, M @ z) < 1e-2, dist(got, M @ z)
