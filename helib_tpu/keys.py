@@ -173,10 +173,31 @@ class SecKey:
         return (red * finv) % pr
 
     def noise_of(self, ctxt) -> float:
-        """log2 of actual max |coefficient| of <c, s> (debug/checkNoise)."""
+        """log2 of the actual canonical-embedding L-infinity norm of <c, s>
+        (reference embeddingLargestCoeff, norms.h:85 — the quantity the
+        noiseBound estimates track)."""
         vals = self.decrypt_raw(ctxt)
-        mx = max(abs(int(v)) for v in vals)
-        return math.log2(mx) if mx else float("-inf")
+        return canonical_embedding_norm_log2(vals, self.ctx)
+
+
+def canonical_embedding_norm_log2(coeffs, ctx) -> float:
+    """max_j |f(zeta^j)| over primitive m-th roots, from balanced integer
+    coefficients (host, complex FFT; reference src/norms.cpp)."""
+    m = ctx.m
+    arr = np.array([float(int(v)) for v in coeffs], dtype=np.float64)
+    if ctx.pal.pow2:
+        N = ctx.n_eval
+        zeta = np.exp(1j * np.pi / N)
+        b = arr.astype(np.complex128) * zeta ** np.arange(len(arr))
+        vals = np.fft.ifft(b) * N
+        mx = float(np.max(np.abs(vals)))
+    else:
+        full = np.zeros(m, dtype=np.float64)
+        full[:len(arr)] = arr
+        spec = np.fft.fft(full)
+        prim = np.array([j for j in range(1, m) if math.gcd(j, m) == 1])
+        mx = float(np.max(np.abs(spec[prim])))
+    return math.log2(mx) if mx > 0 else float("-inf")
 
 
 def reduce_mod_phim(coeffs: np.ndarray, ctx: Context, modulus: int) -> np.ndarray:
