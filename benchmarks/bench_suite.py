@@ -76,10 +76,19 @@ def bench_ntt(quick=False):
         x = jnp.asarray(rng.integers(0, qs[:, None].astype(np.int64),
                                      (L, n)).astype(np.uint32))
         jfn = jax.jit(lambda v: ntt_pow2_fwd(v, tree))
+        jax.block_until_ready(jfn(x))   # compile
 
-        def run():
-            jax.block_until_ready(jfn(x))
-        per = timeit(run)
+        def chain(k):
+            y = jfn(x)
+            for _ in range(k - 1):
+                y = jfn(y)              # data-dependent: defeats caching,
+            jax.block_until_ready(y)    # stays pipelined (true device time)
+
+        chain(3)
+        iters = 200
+        t0 = time.time()
+        chain(iters)
+        per = (time.time() - t0) / iters
         print(json.dumps({"metric": f"ntt_fwd_us_n{n}_L{L}",
                           "value": round(per * 1e6 / L, 2),
                           "unit": "us/limb"}))
