@@ -14,6 +14,14 @@ import jax
 # (emulated as 32-bit pairs on TPU); host-side exact math uses numpy int64.
 jax.config.update("jax_enable_x64", True)
 
+# Test/CI hook: some TPU plugins register even under JAX_PLATFORMS=cpu;
+# HELIB_FORCE_CPU pins the default device to the host CPU.
+if os.environ.get("HELIB_FORCE_CPU"):
+    try:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except Exception:
+        pass
+
 # Persistent compilation cache: first-compile of the NTT/pipeline graphs is
 # expensive over the TPU tunnel; subsequent process launches reuse it.
 _cache_dir = os.environ.get("HELIB_TPU_XLA_CACHE",

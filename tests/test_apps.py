@@ -75,10 +75,10 @@ def test_database_query(setup):
 def test_cli_pipeline(tmp_path):
     """create-context -> key-gen -> encrypt -> decrypt -> diff
     (reference utils/tests/full-pipeline.bats)."""
-    env = {"JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"}
     import os
-    env.update({k: v for k, v in os.environ.items()
-                if k not in ("JAX_PLATFORMS",)})
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo",
+                "HELIB_FORCE_CPU": "1"})
     ctxf = tmp_path / "ctx.bin"
     data = tmp_path / "data.txt"
     ct = tmp_path / "ct.bin"
@@ -88,7 +88,7 @@ def test_cli_pipeline(tmp_path):
     def run(*args):
         r = subprocess.run([sys.executable, "-m", "helib_tpu.cli", *args],
                            capture_output=True, text=True, env=env,
-                           cwd="/root/repo", timeout=480)
+                           cwd="/root/repo", timeout=900)
         assert r.returncode == 0, r.stderr[-2000:]
 
     run("create-context", f"m=31", "p=2", "r=1", "bits=200", "c=2",
