@@ -43,6 +43,26 @@ def test_linear_maps_roundtrip(setup):
 
 
 @pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
+                    reason="composite-m thin boot is slow; HELIB_RUN_SLOW=1")
+def test_thin_recrypt_composite_m():
+    """Thin bootstrap at composite m=45 (two hypercube dims; mirrors the
+    reference bootstrappable composite-m parameter family)."""
+    from helib_tpu.recryption import RecryptData, thin_recrypt
+    ctx = Context(m=45, p=2, r=1, bits=800, c=3, scheme="bgv")
+    sk = SecKey(ctx, seed=91, hwt=20)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rc = RecryptData(ctx, sk, ea, hwt=20)
+    rng = np.random.default_rng(93)
+    slots = rng.integers(0, ctx.ptxt_space, ea.nslots)
+    ct = ea.encrypt(list(slots), pk, rng)
+    ct.bring_to_k(3)
+    out = thin_recrypt(ct, rc, sk)
+    assert out.is_correct(), out.capacity()
+    np.testing.assert_array_equal(ea.decrypt_ints(out, sk), slots)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
                     reason="fat bootstrap e2e is slow; set HELIB_RUN_SLOW=1")
 def test_fat_recrypt(setup):
     """Reference GTestFatboot: bootstrap with FULLY PACKED slots."""
