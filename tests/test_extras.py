@@ -87,6 +87,26 @@ def test_permutation(setup):
     np.testing.assert_array_equal(ea.decrypt_ints(out, sk), s[perm])
 
 
+def test_benes_network(setup):
+    """Benes swap-network routing, cleartext and homomorphic
+    (reference GeneralBenesNetwork / PermNetwork)."""
+    from helib_tpu.algos.benes import BenesNetwork
+    ctx, sk, pk, ea, rng = setup
+    n = ea.nslots
+    for _ in range(20):          # cleartext construction sweep
+        p = rng.permutation(n)
+        bn = BenesNetwork(p)
+        v = rng.integers(0, 100, n)
+        np.testing.assert_array_equal(bn.apply_vector(v), v[p])
+    perm = rng.permutation(n)
+    bn = BenesNetwork(perm)
+    s = rng.integers(0, 2, n)
+    ct = ea.encrypt(list(s), pk, rng)
+    out = bn.apply(ea, ct, sk)
+    assert out.is_correct(), out.capacity()
+    np.testing.assert_array_equal(ea.decrypt_ints(out, sk), s[perm])
+
+
 def test_io_roundtrip(setup):
     ctx, sk, pk, ea, rng = setup
     s = rng.integers(0, 2, ea.nslots)
