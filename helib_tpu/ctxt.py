@@ -355,6 +355,8 @@ class Ctxt:
         kexp %= self.ctx.m
         if kexp == 1:
             return self
+        from .dryrun import note_automorph
+        note_automorph(kexp)   # planning mode: record required automorphisms
         if (1, kexp) not in sk.matrices:
             from .ksstrategy import hop_path
             path = hop_path(sk, kexp)

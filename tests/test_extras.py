@@ -151,6 +151,22 @@ def test_argmap():
         am.parse(["bogus=1", "p=2"])
 
 
+def test_automorph_recording(setup):
+    """dryRun analog: record automorphism exponents during a planning run,
+    pre-generate exactly those KS matrices (reference setAutomorphVals)."""
+    from helib_tpu.dryrun import record_automorphs, add_these_matrices
+    ctx, sk, pk, ea, rng = setup
+    s = rng.integers(0, 2, ea.nslots)
+    ct = ea.encrypt(list(s), pk, rng)
+    with record_automorphs() as vals:
+        ea.rotate(ct.copy(), 1, sk)
+    assert vals, "no automorphisms recorded"
+    sk2 = SecKey(ctx, seed=99)
+    add_these_matrices(sk2, vals)
+    for k in vals:
+        assert (1, k) in sk2.matrices
+
+
 def test_security_estimator(setup):
     ctx = setup[0]
     # affine fit sanity: dense keys, n=phi(m)
