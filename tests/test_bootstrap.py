@@ -63,6 +63,26 @@ def test_thin_recrypt_composite_m():
 
 
 @pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
+                    reason="p^r thin boot is slow; set HELIB_RUN_SLOW=1")
+def test_thin_recrypt_pr_space():
+    """Thin bootstrap with plaintext space p^r = 4 (r=2): exercises the
+    bottom-digit correction branch of extractDigitsThin."""
+    from helib_tpu.recryption import RecryptData, thin_recrypt
+    ctx = Context(m=31, p=2, r=2, bits=900, c=3, scheme="bgv")
+    sk = SecKey(ctx, seed=101, hwt=16)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rc = RecryptData(ctx, sk, ea, hwt=16)
+    rng = np.random.default_rng(103)
+    slots = rng.integers(0, 4, ea.nslots)
+    ct = ea.encrypt(list(slots), pk, rng)
+    ct.bring_to_k(3)
+    out = thin_recrypt(ct, rc, sk)
+    assert out.is_correct(), out.capacity()
+    np.testing.assert_array_equal(ea.decrypt_ints(out, sk), slots)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
                     reason="fat bootstrap e2e is slow; set HELIB_RUN_SLOW=1")
 def test_fat_recrypt(setup):
     """Reference GTestFatboot: bootstrap with FULLY PACKED slots."""
