@@ -38,18 +38,21 @@ class MatMul1D:
 
     # -- diagonal encoding -------------------------------------------------
     def _diag_slots(self, i: int, rotated_by: int = 0) -> np.ndarray:
-        """Encoded slot vector for the i-th generalized diagonal, optionally
-        pre-rotated by `rotated_by` along the dim (for BSGS giant steps).
+        """Encoded slot matrix [nslots, d] for the i-th generalized diagonal,
+        optionally pre-rotated by `rotated_by` along the dim (BSGS giant
+        steps).  Entries may be scalars or extension-ring elements (length-d
+        coefficient vectors) — the reference's RX-valued constants.
 
         y[e] = sum_i M[e][e-i] x[e-i]: the constant multiplying rho^i(x) at
         output coord e is M[e][e-i]."""
         ea, pal = self.ea, self.ea.ctx.pal
         D = self.D
-        slots = np.zeros(ea.nslots, dtype=np.int64)
+        slots = np.zeros((ea.nslots, ea.d), dtype=np.int64)
         for s in range(ea.nslots):
             e = pal.coords(s)[self.dim]
             val = self.get(e, (e - i) % D)
-            slots[s] = int(val) % ea.pr
+            v = np.atleast_1d(np.asarray(val, dtype=np.int64)) % ea.pr
+            slots[s, :len(v)] = v
         if rotated_by:
             # pre-rotate the mask backwards along dim so that applying it
             # before the giant rotation rho^{g} yields the same result

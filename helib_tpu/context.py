@@ -73,6 +73,7 @@ class Context:
     scheme: str = "bgv"     # "bgv" | "ckks"
     stdev: float = 3.2      # fresh-noise Gaussian stdev (reference Context.h:148)
     scale: float = 10.0     # high-probability bound multiplier (Context.h:151)
+    mvec: tuple | None = None  # factor-aligned hypercube (bootstrappable ctx)
 
     pal: PAlgebra = field(init=False)
     qs: np.ndarray = field(init=False)       # ctxt primes, [L] uint32
@@ -84,7 +85,8 @@ class Context:
 
     def __post_init__(self):
         assert self.scheme in ("bgv", "ckks")
-        self.pal = PAlgebra(self.m, self.p if self.scheme == "bgv" else -1)
+        self.pal = PAlgebra(self.m, self.p if self.scheme == "bgv" else -1,
+                            mvec=tuple(self.mvec) if self.mvec else None)
         n_ctxt = max(2, math.ceil(self.bits / (PRIME_BITS - 0.1)))
         # digits partition: c contiguous groups, as equal as possible
         base, rem = divmod(n_ctxt, self.c)

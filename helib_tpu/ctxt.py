@@ -378,6 +378,24 @@ class Ctxt:
         """CKKS complex conjugation = X -> X^{-1} (m-1)."""
         return self.smart_automorph(self.ctx.m - 1, sk)
 
+    def trace_map(self, sk: SecKey):
+        """Trace over the slot extension: sum_{i<d} sigma_{p^i} — leaves a
+        CONSTANT in every slot (reference Ctxt traceMap, used by
+        ThinEvalMap::apply, EvalMap.cpp:658)."""
+        d = self.ctx.pal.d
+        acc = self
+        frob = self
+        for _ in range(1, d):
+            frob = frob.copy().frobenius(1, sk)
+            acc = acc.copy().add(frob)
+        if acc is not self:
+            self.parts = acc.parts
+            self.k, self.special = acc.k, acc.special
+            self.noise = acc.noise
+            self.ptxt_space = acc.ptxt_space
+            self.intFactor = acc.intFactor
+        return self
+
     def divide_by_p(self):
         """Divide the plaintext by p (requires it divisible); plaintext space
         p^r -> p^{r-1} (reference Ctxt::divideByP, Ctxt.h:1212)."""

@@ -202,20 +202,26 @@ class RecryptData:
             out[:n] = consts
             if np.any(out):
                 img1[j] = out
-        self.slot_to_coeff = LinearMapR(ea, img1)
-        # coeffToSlot: X^t -> u_t (unit of slot t) for t < n, else 0.
-        # Applied AFTER re-encryption, where the plaintext space is the big
-        # p^{e-e'+r} — so the map and its slot units are built mod that space
-        # (role of the reference recryption alMod, recryption.h:44).
         self.ea_big = EncryptedArray(ctx, r_override=self.e - self.ePrime
                                      + ctx.r)
-        img2: dict[int, np.ndarray] = {}
-        for t in range(n):
-            unit = np.zeros(phi, dtype=np.int64)
-            u = self.ea_big.units[t]
-            unit[:len(u)] = u
-            img2[t] = unit
-        self.coeff_to_slot = LinearMapR(self.ea_big, img2)
+        if ctx.pal.aligned is not None:
+            # scalable factor-tree maps (reference ThinEvalMap route)
+            from .evalmap import ThinEvalMapTree
+            self.slot_to_coeff = ThinEvalMapTree(ea, invert=False)
+            # coeffToSlot applies AFTER re-encryption at the big plaintext
+            # space p^{e-e'+r} (role of the recryption alMod,
+            # recryption.h:44)
+            self.coeff_to_slot = ThinEvalMapTree(self.ea_big, invert=True)
+        else:
+            # dense sigma-span maps (small m fallback)
+            self.slot_to_coeff = LinearMapR(ea, img1)
+            img2: dict[int, np.ndarray] = {}
+            for t in range(n):
+                unit = np.zeros(phi, dtype=np.int64)
+                u = self.ea_big.units[t]
+                unit[:len(u)] = u
+                img2[t] = unit
+            self.coeff_to_slot = LinearMapR(self.ea_big, img2)
         # recryption key: encryption of s with plaintext space p^{e-e'+r}
         big_space = ctx.p ** (self.e - self.ePrime + ctx.r)
         assert big_space < (1 << 30)

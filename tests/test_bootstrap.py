@@ -63,6 +63,29 @@ def test_thin_recrypt_composite_m():
 
 
 @pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
+                    reason="tree-map thin boot is slow; HELIB_RUN_SLOW=1")
+def test_thin_recrypt_tree_maps():
+    """Thin bootstrap at m=255 with the scalable factor-tree ThinEvalMap
+    (3 coprime factors, d=8, 16 slots) — the reference ThinEvalMap route."""
+    from helib_tpu.recryption import RecryptData, thin_recrypt
+    from helib_tpu.evalmap import ThinEvalMapTree
+    ctx = Context(m=255, p=2, r=1, bits=850, c=3, scheme="bgv",
+                  mvec=(3, 5, 17))
+    sk = SecKey(ctx, seed=121, hwt=24)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rc = RecryptData(ctx, sk, ea, hwt=24)
+    assert isinstance(rc.slot_to_coeff, ThinEvalMapTree)
+    rng = np.random.default_rng(123)
+    slots = rng.integers(0, ctx.ptxt_space, ea.nslots)
+    ct = ea.encrypt(list(slots), pk, rng)
+    ct.bring_to_k(3)
+    out = thin_recrypt(ct, rc, sk)
+    assert out.is_correct(), out.capacity()
+    np.testing.assert_array_equal(ea.decrypt_ints(out, sk), slots)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
                     reason="p^r thin boot is slow; set HELIB_RUN_SLOW=1")
 def test_thin_recrypt_pr_space():
     """Thin bootstrap with plaintext space p^r = 4 (r=2): exercises the
