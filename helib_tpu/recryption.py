@@ -342,9 +342,12 @@ def thin_recrypt(ctxt: Ctxt, rc: RecryptData, sk: SecKey) -> Ctxt:
     q = rc.q
     intF = ctxt.intFactor
 
+    # The reference drops to THIN_RECRYPT_NLEVELS=3 of its ~50-bit primes
+    # before the first linear map (recryption.cpp:990); with uniform 30-bit
+    # primes the equivalent working set is ~6 limbs.
     ct = ctxt.copy()
     ct.drop_special_primes()
-    ct.bring_to_k(min(ct.k, 3))
+    ct.bring_to_k(min(ct.k, 6))
 
     # slots -> coefficients
     ct = rc.slot_to_coeff.apply(ct, sk)

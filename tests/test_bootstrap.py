@@ -69,7 +69,7 @@ def test_thin_recrypt_tree_maps():
     (3 coprime factors, d=8, 16 slots) — the reference ThinEvalMap route."""
     from helib_tpu.recryption import RecryptData, thin_recrypt
     from helib_tpu.evalmap import ThinEvalMapTree
-    ctx = Context(m=255, p=2, r=1, bits=850, c=3, scheme="bgv",
+    ctx = Context(m=255, p=2, r=1, bits=950, c=3, scheme="bgv",
                   mvec=(3, 5, 17))
     sk = SecKey(ctx, seed=121, hwt=24)
     pk = PubKey(sk)
