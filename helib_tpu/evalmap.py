@@ -7,19 +7,35 @@ into one MatMul1D stage per hypercube dimension — O(sum D_t) rotations
 instead of the dense sigma-span solve (recryption.LinearMapR) whose
 construction is O(phi(m)^4).
 
-Construction (simplified relative to the reference's inflate/deflate pair;
-equivalent for THIN bootstrapping):
-  * slotToCoeff (forward): per hypercube dim, a MatMul1D with the
-    Vandermonde V_t[i][j] = pts_j^i over E = Z_{p^r}[Y]/G, where
-    pts_j = Y^{reps_j * (m/m_t)} (reference ThinStep2Matrix points).
-  * coeffToSlot (inverse): per dim the inverse Vandermonde, then a constant
-    multiply by the trace-dual c (Tr(c) = 1), then traceMap.  The final
-    trace leaves a CONSTANT in every slot for ANY input (total Z-linearity),
-    and on thin inputs the composition is exactly the identity:
-        Tr(c * (V^{-1} (x) ... ) ( (x) V ... ) v) = Tr(c) * v = v.
-    The reference achieves the same through its Step1 deflation against the
-    trace form; folding the dual element c in is algebraically equivalent
-    for thin ciphertexts and considerably simpler.
+Derivation in OUR slot conventions (slot with representative t holds
+a(Y^t) in E = Z_{p^r}[Y]/G; reps t = prod gens^{coords}; factor-aligned
+gens are 1 mod the other factors):
+
+Powerful basis: monomials  prod_t W_t^{j_t},  W_t = X^{m/m_t},
+j_t < phi(m_t) (reference PowerfulDCRT, powerful.cpp).  Under the slot-e
+evaluation X -> Y^{t_e}:  W_t -> Y^{(m/m_t) * (locgen_t^{e_t} mod m_t)},
+which depends ONLY on the dim-t coordinate e_t — so both maps factor into
+one MatMul1D per dimension:
+
+  * slotToCoeff (forward): stage matrix M_t[e][J] = node_t(e)^{J*step_t}
+    with node_t(e) = Y^{(m/m_t)*locgen_t^e} and step_t = phi(m_t)/D_t
+    (1 on the inert prefix, d on the last factor — the reference's point
+    "inflation", EvalMap.cpp:700).  The output ring element is EXACTLY
+    y = sum_J v_J * prod_t W_t^{J_t*step_t}: the slots land on powerful
+    coefficients (J_t*step_t).
+  * coeffToSlot (inverse): per prefix dim the inverse Vandermonde
+    (exact evaluation inverse, all phi(m_t) primitive m_t-th roots); for
+    the last factor a trace-solved extraction matrix W with
+        Tr(sum_k W[J][k] * s_k) = a_{J*d}
+    for ANY element with last-factor coefficients a_n (the role of the
+    reference's ThinStep1 deflation, EvalMap.cpp:537-620), then traceMap.
+    The composition extracts powerful coefficients EXACTLY mod p^r for
+    arbitrary inputs — the property digit extraction needs (the input of
+    coeffToSlot during recryption is NOT thin).
+
+The trace here is the Galois-ring trace sum_k sigma^k with sigma the
+Frobenius LIFT Y -> Y^p mod (G, p^r) (matching ctxt.frobenius /
+trace_map), not x -> x^p (they differ for r > 1).
 
 Requires a Context built with a factor-aligned mvec
 (nt/factoralign.find_aligned_mvec)."""
@@ -29,7 +45,7 @@ from __future__ import annotations
 import numpy as np
 
 from .nt import polymod as pm
-from .nt.numbth import inv_mod
+from .nt.numbth import phi_n
 from .ea import EncryptedArray
 from .algos.matmul import MatMul1D
 
@@ -96,30 +112,27 @@ def _inv_scalar_matrix(A: np.ndarray, p: int, r: int) -> np.ndarray:
     return Inv
 
 
-def _trace(x, G, p, r, d):
-    """Tr(x) = sum_{k<d} x^{p^k} mod (G, p^r)."""
+def _frob(x, G, p, r):
+    """Frobenius lift sigma(x) = x(Y^p) mod (G, p^r) — the Galois-ring
+    automorphism (slot-level action of ctxt.frobenius)."""
     pr = p**r
-    x0 = pm.pmod([c % pr for c in x], G, pr)
-    acc = list(x0)
-    xk = list(x0)
-    for _ in range(1, d):
-        xk = pm.ppowmod(xk, p, G, pr)
-        acc = pm.padd(acc, xk, pr)
+    Yp = pm.ppowmod([0, 1], p, G, pr)
+    acc = []
+    for c in reversed(list(x)):
+        acc = pm.padd(pm.pmulmod(acc, Yp, G, pr), [int(c) % pr], pr)
     return acc
 
 
-def trace_dual_one(G, p, r, d):
-    """c in E with Tr(c) = 1 (trace form is nondegenerate for p unramified):
-    c = first row of the inverse of the trace matrix [Tr(Y^{i+j})]."""
-    tvec = []
-    for i in range(2 * d - 1):
-        tr = _trace([0] * i + [1], G, p, r, d)
-        assert len(tr) <= 1, "trace of a basis power is not constant"
-        tvec.append(int(tr[0]) if tr else 0)
-    tmat = np.array([[tvec[i + j] for j in range(d)] for i in range(d)],
-                    dtype=np.int64)
-    tmat_inv = _inv_scalar_matrix(tmat, p, r)
-    return [int(x) for x in tmat_inv[0]]
+def _trace(x, G, p, r, d):
+    """Galois-ring trace Tr(x) = sum_{k<d} sigma^k(x) mod (G, p^r)."""
+    pr = p**r
+    x0 = pm.pmod([int(c) % pr for c in x], G, pr)
+    acc = list(x0)
+    xk = list(x0)
+    for _ in range(1, d):
+        xk = _frob(xk, G, p, r)
+        acc = pm.padd(acc, xk, pr)
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -139,55 +152,97 @@ class ThinEvalMapTree:
         G = ea.G
         m = ctx.m
 
-        # local representatives (reference init_representatives): inverse
-        # powers of the local generator
-        local_reps = []
-        for t in range(nf):
-            mt = mvec[t]
-            Dt = len(s["local_reps"][t])
-            g_inv = inv_mod(s["local_gens"][t] % mt, mt)
-            local_reps.append([pow(g_inv, i, mt) for i in range(Dt)])
+        phis = [phi_n(mt) for mt in mvec]
+        Dvec = [phis[t] // s["dvec"][t] for t in range(nf)]
+        self.steps = [phis[t] // Dvec[t] for t in range(nf)]  # 1,...,1,d
+        self.Dvec = Dvec
         fac_to_dim = {f: i for i, f in enumerate(s["dims_factor"])}
 
-        def vandermonde(t):
-            cof = m // mvec[t]
-            sz = len(local_reps[t])
-            pts = [pm.ppowmod([0, 1], (rep * cof) % m, G, pr)
-                   for rep in local_reps[t]]
-            A = [[None] * sz for _ in range(sz)]
-            for j in range(sz):
-                A[0][j] = [1]
-            for i in range(1, sz):
-                for j in range(sz):
-                    A[i][j] = pm.pmulmod(A[i - 1][j], pts[j], G, pr)
-            return A, sz
+        def nodes(t, count=None):
+            mt = mvec[t]
+            cof = m // mt
+            g = s["local_gens"][t] % mt
+            cnt = Dvec[t] if count is None else count
+            return [pm.ppowmod([0, 1], (cof * pow(g, e, mt)) % m, G, pr)
+                    for e in range(cnt)]
 
-        self.stages = []          # ("matmul", dim, A) in application order
-        self.trace_dual = None
+        def vand(t, step):
+            """M[e][J] = node_t(e)^{J*step}: out_e = sum_J M[e][J] in_J
+            (MatMul1D orientation)."""
+            nd = nodes(t)
+            sz = len(nd)
+            ndp = [pm.ppowmod(x, step, G, pr) for x in nd]
+            M = [[None] * sz for _ in range(sz)]
+            for e in range(sz):
+                M[e][0] = [1]
+                for J in range(1, sz):
+                    M[e][J] = pm.pmulmod(M[e][J - 1], ndp[e], G, pr)
+            return M
+
+        self.stages = []          # ("matmul", dim, M) or ("const", c)
         if not invert:
-            for t in range(nf - 1, -1, -1):
-                A, sz = vandermonde(t)
-                if sz > 1:
-                    self.stages.append(("matmul", fac_to_dim[t], A))
-        else:
             for t in range(nf):
-                A, sz = vandermonde(t)
-                if sz > 1:
-                    Ainv = _e_mat_inv(A, G, p, r)
-                    self.stages.append(("matmul", fac_to_dim[t], Ainv))
-            self.trace_dual = trace_dual_one(G, p, r, d)
+                if Dvec[t] > 1:
+                    self.stages.append(
+                        ("matmul", fac_to_dim[t], vand(t, self.steps[t])))
+        else:
+            for t in range(nf - 1):
+                if Dvec[t] > 1:
+                    self.stages.append(
+                        ("matmul", fac_to_dim[t],
+                         _e_mat_inv(vand(t, 1), G, p, r)))
+            W = self._last_factor_extractor(nodes(nf - 1), G, p, r, d)
+            if Dvec[nf - 1] > 1:
+                self.stages.append(("matmul", fac_to_dim[nf - 1], W))
+            else:
+                self.stages.append(("const", W[0][0]))
+
+    @staticmethod
+    def _last_factor_extractor(pts, G, p, r, d):
+        """W (sz x sz over E) with Tr(sum_k W[J][k] * s_k) = a_{J*d} for any
+        element u = sum_{n < sz*d} a_n * (last-factor root)^n with slot
+        values s_k = u(pts_k): solve the Tr(Y^lam * pts_k^n) linear system
+        (the reference Step1 deflation in direct form)."""
+        pr = p**r
+        sz = len(pts)
+        n_tot = sz * d
+        pows = [[None] * n_tot for _ in range(sz)]
+        for k in range(sz):
+            pows[k][0] = [1]
+            for n in range(1, n_tot):
+                pows[k][n] = pm.pmulmod(pows[k][n - 1], pts[k], G, pr)
+        # system matrix Msys[n][(k, lam)] = Tr(Y^lam * pts_k^n)
+        Msys = np.zeros((n_tot, n_tot), dtype=np.int64)
+        for k in range(sz):
+            for lam in range(d):
+                ylam = [0] * lam + [1]
+                for n in range(n_tot):
+                    prod = pm.pmulmod(ylam, pows[k][n], G, pr)
+                    tr = _trace(prod, G, p, r, d)
+                    assert len(tr) <= 1, "trace is not a constant"
+                    Msys[n, k * d + lam] = (int(tr[0]) if tr else 0) % pr
+        Minv = _inv_scalar_matrix(Msys, p, r)
+        W = [[None] * sz for _ in range(sz)]
+        for J in range(sz):
+            x = Minv[:, J * d] % pr
+            for k in range(sz):
+                W[J][k] = [int(v) for v in x[k * d:(k + 1) * d]]
+        return W
 
     def apply(self, ctxt, sk):
         ea = self.ea
         cur = ctxt
-        for _, dim, A in self.stages:
-            mm = MatMul1D(ea, dim, lambda i, j, A=A: A[i][j])
-            cur = mm.apply(cur, sk)
+        for st in self.stages:
+            if st[0] == "const":
+                c = np.zeros(ea.d, dtype=np.int64)
+                cc = np.asarray(st[1], dtype=np.int64)
+                c[:len(cc)] = cc
+                cur = cur.copy()
+                cur.mul_constant_poly(ea.encode([c] * ea.nslots))
+            else:
+                _, dim, M = st
+                mm = MatMul1D(ea, dim, lambda i, j, M=M: M[i][j])
+                cur = mm.apply(cur, sk)
         if self.invert:
-            c = np.zeros(ea.d, dtype=np.int64)
-            cc = np.asarray(self.trace_dual, dtype=np.int64)
-            c[:len(cc)] = cc
-            cur = cur.copy()
-            cur.mul_constant_poly(ea.encode([c] * ea.nslots))
-            cur.trace_map(sk)
+            cur = cur.copy().trace_map(sk)
         return cur

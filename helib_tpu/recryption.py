@@ -6,18 +6,18 @@ TPU-native equivalent of reference recryption
 newMakeDivisible (recryption.cpp:73), the slot<->coefficient linear maps,
 and extractDigitsThin (recryption.cpp:793-935, basic branch).
 
-Round-1 scope notes (documented deviations):
-  * The slot<->coeff maps are realized as general linear maps
-    sum_k c_k * sigma_k solved by brute force over Z_{p^r} (any Z-linear map
-    on R is in the sigma-span by independence of characters).  This is
-    O(phi(m)^2) unknowns — fine for small m; the reference's factor-tree
-    ThinEvalMap (EvalMap.cpp) is the planned scalable replacement.
-  * rawModSwitch rounds in the coefficient basis (the reference uses the
-    powerful basis for composite m, powerful.cpp); correct for the m used
-    here, with the normBnd margin absorbed in the parameter slack.
-  * The recryption key is the main secret key (the reference switches to a
-    separate sparse key, keys.cpp:1678); contexts intended for bootstrapping
-    should use a sparse (hwt) secret key.
+Two map implementations (selected by whether the Context has a
+factor-aligned mvec):
+  * factor-tree ThinEvalMapTree (evalmap.py) + POWERFUL-basis rounding in
+    rawModSwitch/makeDivisible (reference ThinEvalMap + PowerfulDCRT) —
+    the scalable route for composite m;
+  * dense sigma-span maps (LinearMapR below) + power-basis rounding — the
+    small-m fallback (any Z-linear map on R is in the sigma-span by
+    independence of characters; O(phi(m)^2) unknowns).
+
+Round-1 scope note: the recryption key is the main secret key (the
+reference switches to a separate sparse key, keys.cpp:1678); contexts
+intended for bootstrapping should use a sparse (hwt) secret key.
 """
 
 from __future__ import annotations
@@ -204,14 +204,19 @@ class RecryptData:
                 img1[j] = out
         self.ea_big = EncryptedArray(ctx, r_override=self.e - self.ePrime
                                      + ctx.r)
+        self.pwb = None
         if ctx.pal.aligned is not None:
             # scalable factor-tree maps (reference ThinEvalMap route)
             from .evalmap import ThinEvalMapTree
+            from .powerful import PowerfulBasis
             self.slot_to_coeff = ThinEvalMapTree(ea, invert=False)
             # coeffToSlot applies AFTER re-encryption at the big plaintext
             # space p^{e-e'+r} (role of the recryption alMod,
             # recryption.h:44)
             self.coeff_to_slot = ThinEvalMapTree(self.ea_big, invert=True)
+            # rawModSwitch rounds in the powerful basis for composite m
+            # (reference PowerfulDCRT role)
+            self.pwb = PowerfulBasis(ctx.m, list(ctx.pal.mvec))
         else:
             # dense sigma-span maps (small m fallback)
             self.slot_to_coeff = LinearMapR(ea, img1)
@@ -265,10 +270,14 @@ def _encrypt_with_space(sk: SecKey, coeffs: np.ndarray, space: int) -> Ctxt:
                 intFactor=1)
 
 
-def raw_mod_switch(ctxt: Ctxt, q: int) -> list[np.ndarray]:
+def raw_mod_switch(ctxt: Ctxt, q: int, pwb=None) -> list[np.ndarray]:
     """Host-side raw mod switch of a canonical 2-part ciphertext to modulus
     q (reference Ctxt::rawModSwitch, Ctxt.cpp:2949).  Returns two balanced
-    integer coefficient vectors mod q (deg < phi(m))."""
+    integer coefficient vectors mod q — in the POWER basis (deg < phi(m))
+    when pwb is None, else in the POWERFUL basis (reference uses
+    PowerfulDCRT here for composite m, powerful.cpp): digit extraction needs
+    the per-coordinate rounding to happen in the same basis the factor-tree
+    coeffToSlot extracts (evalmap.py)."""
     ctx = ctxt.ctx
     p2r = ctxt.ptxt_space
     rows = ctx.rows_of(ctxt.k, ctxt.special)
@@ -281,10 +290,14 @@ def raw_mod_switch(ctxt: Ctxt, q: int) -> list[np.ndarray]:
     for i in (0, 1):
         res = np.asarray(ctx.inv_ntt(parts[i], rows))
         vals = dcrt.crt_reconstruct(ctx, res, rows, balanced=True)
-        # reduce mod Phi_m exactly (object ints) for odd m
-        vals = _reduce_phim_balanced(vals, ctx, Q)
-        zz = np.zeros(ctx.phi_m, dtype=np.int64)
-        for j in range(min(len(vals), ctx.phi_m)):
+        if pwb is not None:
+            vals = pwb.poly_to_w_powerful(vals, Q)
+        else:
+            # reduce mod Phi_m exactly (object ints) for odd m
+            vals = _reduce_phim_balanced(vals, ctx, Q)
+        zz = np.zeros(len(vals) if pwb is not None else ctx.phi_m,
+                      dtype=np.int64)
+        for j in range(min(len(vals), len(zz))):
             c = int(vals[j])
             cq = c * q
             X, Y = divmod(cq, Q)
@@ -355,11 +368,15 @@ def thin_recrypt(ctxt: Ctxt, rc: RecryptData, sk: SecKey) -> Ctxt:
     ct.drop_special_primes()
     ct.bring_to_k(min(ct.k, 3))
 
-    # raw mod switch to q = p^e + 1
-    zz = raw_mod_switch(ct, q)
+    # raw mod switch to q = p^e + 1; for composite m, round / make
+    # divisible / divide per POWERFUL coordinate, then return to the
+    # coefficient representation (reference recryption.cpp:475-520)
+    zz = raw_mod_switch(ct, q, rc.pwb)
     p2ep = p**ePrime
     zz = [make_divisible(z, p2ep, q) for z in zz]
     zz = [z // p2ep for z in zz]
+    if rc.pwb is not None:
+        zz = [rc.pwb.w_powerful_to_poly(z) for z in zz]
 
     # re-encrypt: ekey * zz1 + zz0
     out = rc.ekey.copy()

@@ -140,3 +140,26 @@ def test_thin_recrypt(setup):
     sq = out.multiply(out, sk)
     np.testing.assert_array_equal(ea.decrypt_ints(sq, sk),
                                   (slots * slots) % ctx.ptxt_space)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
+                    reason="m=1271 thin boot is slow; HELIB_RUN_SLOW=1")
+def test_thin_recrypt_bench_param():
+    """Thin bootstrap at m=1271 = 31*41 — the reference's SMALL thinboot
+    benchmark parameter (benchmarks/bgv_thinboot.cpp:104, skHwt=64)."""
+    from helib_tpu.recryption import RecryptData, thin_recrypt
+    from helib_tpu.evalmap import ThinEvalMapTree
+    ctx = Context(m=1271, p=2, r=1, bits=1000, c=3, scheme="bgv",
+                  mvec=(31, 41))
+    sk = SecKey(ctx, seed=131, hwt=64)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rc = RecryptData(ctx, sk, ea, hwt=64)
+    assert isinstance(rc.slot_to_coeff, ThinEvalMapTree)
+    rng = np.random.default_rng(133)
+    slots = rng.integers(0, ctx.ptxt_space, ea.nslots)
+    ct = ea.encrypt(list(slots), pk, rng)
+    ct.bring_to_k(3)
+    out = thin_recrypt(ct, rc, sk)
+    assert out.is_correct(), out.capacity()
+    np.testing.assert_array_equal(ea.decrypt_ints(out, sk), slots)

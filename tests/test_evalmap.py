@@ -42,6 +42,63 @@ def test_aligned_hypercube(setup):
     np.testing.assert_array_equal(got, expect)
 
 
+def _slot_positions(ctx, tmap, phis):
+    """Flat powerful index that each slot's value is placed on / read from."""
+    pal = ctx.pal
+    s = pal.aligned
+    fac_to_dim = {f: i for i, f in enumerate(s["dims_factor"])}
+    pos = []
+    for sl in range(pal.nslots):
+        cs = pal.coords(sl)
+        flat = 0
+        for t in range(len(phis)):
+            j_t = cs[fac_to_dim[t]] * tmap.steps[t] if t in fac_to_dim else 0
+            flat = flat * phis[t] + j_t
+        pos.append(flat)
+    return pos
+
+
+def test_exactness_cleartext(setup):
+    """The properties digit extraction relies on, checked at the plaintext
+    level through the real MatMul1D/rotate/trace code paths:
+      * slotToCoeff places the slot constants on powerful coordinates;
+      * coeffToSlot extracts powerful coordinates EXACTLY mod p^{r'} for
+        ARBITRARY (non-thin) inputs — at the recryption space r' > r."""
+    from helib_tpu.debugging import PtSim
+    from helib_tpu.powerful import PowerfulBasis
+    from helib_tpu.nt.numbth import phi_n
+    ctx, sk, pk, ea, rng = setup
+    m, mvec = ctx.m, list(ctx.pal.mvec)
+    pwb = PowerfulBasis(m, mvec)
+    phis = [phi_n(mt) for mt in mvec]
+    fwd = ThinEvalMapTree(ea, invert=False)
+    pos = _slot_positions(ctx, fwd, phis)
+    assert len(set(pos)) == len(pos)
+
+    def pad_m(poly):
+        out = np.zeros(m, dtype=np.int64)
+        out[:len(poly)] = poly
+        return out
+
+    v = rng.integers(0, ctx.ptxt_space, ea.nslots)
+    y = fwd.apply(PtSim(ea.encode(list(v)), ea), None).poly
+    pw = np.array([int(x) % ctx.ptxt_space
+                   for x in pwb.poly_to_w_powerful(pad_m(y), ctx.ptxt_space)])
+    np.testing.assert_array_equal(pw[pos], v)
+    assert not np.delete(pw, pos).any()
+
+    big_r = 9
+    ea_big = EncryptedArray(ctx, r_override=big_r)
+    inv = ThinEvalMapTree(ea_big, invert=True)
+    N = ctx.p ** big_r
+    u = rng.integers(0, N, ctx.phi_m)
+    pw_u = np.array([int(x) % N for x in pwb.poly_to_w_powerful(pad_m(u), N)])
+    out = inv.apply(PtSim(u, ea_big), None).poly
+    for sl, val in enumerate(ea_big.decode(out)):
+        assert not np.any(val[1:]), f"slot {sl} not constant"
+        assert int(val[0]) % N == int(pw_u[pos[sl]]), sl
+
+
 def test_thin_evalmap_roundtrip(setup):
     ctx, sk, pk, ea, rng = setup
     s2c = ThinEvalMapTree(ea, invert=False)

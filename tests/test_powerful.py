@@ -52,3 +52,21 @@ def test_tensor_dft_identity():
     for a in range(m):
         direct = sum(int(ci) * int(pw[(a * j) % m]) for j, ci in enumerate(c)) % q
         assert int(cur[a % 3, a % 5]) == direct, a
+
+
+def test_w_powerful_mod_phim_roundtrip():
+    """Mod-Phi_m powerful basis (W_t = X^{m/m_t} convention): poly ->
+    powerful -> poly is the identity mod (Phi_m, N)."""
+    from helib_tpu.nt.cyclotomic import cyclotomic_poly
+    from helib_tpu.nt import polymod as pm
+    m, mvec, N = 255, [3, 5, 17], 2**9
+    pb = PowerfulBasis(m, mvec)
+    rng = np.random.default_rng(5)
+    c = rng.integers(0, N, m)
+    pw = pb.poly_to_w_powerful(c, N)
+    assert len(pw) == 128
+    back = pb.w_powerful_to_poly([int(x) % N for x in pw])
+    phim = [int(x) % N for x in cyclotomic_poly(m)]
+    a = pm.pmod([int(x) % N for x in c], phim, N)
+    b = pm.pmod([int(x) % N for x in back], phim, N)
+    assert a == b
