@@ -115,8 +115,52 @@ class EncryptedArrayCKKS:
         ct.ptxtMag = mag
         return ct
 
-    def decrypt(self, ctxt: Ctxt, sk: SecKey) -> np.ndarray:
+    def raw_decrypt(self, ctxt: Ctxt, sk: SecKey) -> np.ndarray:
+        """Decrypt WITHOUT the Li-Micciancio mitigation (reference
+        EncryptedArrayCx::rawDecrypt, EaCx.cpp:62) — debug/test use only."""
         vals = sk.decrypt_raw(ctxt)          # balanced ints
+        return self.decode(vals, Fraction(ctxt.ratFactor))
+
+    def decrypt(self, ctxt: Ctxt, sk: SecKey,
+                prec: int | None = None) -> np.ndarray:
+        """Decrypt with the Li-Micciancio decryption-noise mitigation
+        ("On the Security of Homomorphic Encryption on Approximate Numbers"):
+        adds key/ciphertext-derived Gaussian noise so the released value's
+        error grows by at most eps = ctxt.errorBound() (or 2^-prec), hiding
+        the exact RLWE error (reference EaCx.cpp:88-131,
+        Ctxt::addedNoiseForCKKSDecryption, Ctxt.cpp:3051)."""
+        ctx = self.ctx
+        eps = ctxt.error_bound()
+        if prec is not None:
+            eps1 = 2.0 ** (-prec)
+            if eps1 < eps:
+                from .log import warning
+                warning("CKKS decryption: 2^-prec < errorBound: "
+                        "potential security risk", once=True)
+            eps = eps1
+        vals = sk.decrypt_raw(ctxt).astype(object)
+        # sigma chosen so sigma*B/ratFactor = eps, floored at 2*stdev for
+        # security (reference Ctxt.cpp:3057-3079)
+        phim = ctx.phi_m
+        B = math.sqrt(phim * math.log(phim))
+        sigma_min = ctx.stdev * 2
+        sigma = float(Fraction(ctxt.ratFactor) * Fraction(eps)) / B
+        if sigma < sigma_min:
+            sigma = sigma_min
+            from .log import warning
+            warning("CKKS decryption: sigma set to sigma_min, "
+                    "accuracy may be affected", once=True)
+        # noise PRG seeded from a hash of (sk, ctxt) — random-oracle-style
+        # derandomization as in the reference (Ctxt.cpp:3083-3100)
+        import hashlib
+        h = hashlib.sha256()
+        h.update(np.asarray(sk.s_coeffs).tobytes())
+        for _, d in ctxt.parts:
+            h.update(np.asarray(d).tobytes())
+        prg = np.random.default_rng(
+            np.frombuffer(h.digest(), dtype=np.uint64))
+        noise = np.round(prg.normal(0.0, sigma, self.N)).astype(np.int64)
+        vals = vals + noise
         return self.decode(vals, Fraction(ctxt.ratFactor))
 
     # ---------------------------------------------------------- rotations

@@ -75,6 +75,12 @@ class Ctxt:
     def is_correct(self) -> bool:
         return self.capacity() > 1.0
 
+    def error_bound(self) -> float:
+        """CKKS: bound on |decrypted - plaintext| in plaintext units
+        = noiseBound / ratFactor, linear domain (reference
+        Ctxt::errorBound)."""
+        return 2.0 ** (self.noise - frac_log2(self.ratFactor))
+
     def _find_part(self, handle: SKHandle) -> int:
         for i, (h, _) in enumerate(self.parts):
             if h == handle:

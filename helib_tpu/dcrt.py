@@ -134,8 +134,15 @@ def crt_reconstruct(ctx: Context, coeff_residues: np.ndarray, rows: tuple,
                     balanced: bool = True) -> np.ndarray:
     """Host: CRT-combine per-limb coefficient residues into (balanced)
     integers (object dtype).  The reference's toPoly bignum boundary
-    (DoubleCRT.cpp:925-1110) — used only at decrypt/IO time."""
+    (DoubleCRT.cpp:925-1110) — used only at decrypt/IO time.  Served by the
+    native C++ limb kernels (native/crt_kernels.cpp) when built; pure-Python
+    object-int fallback otherwise."""
     qs = [int(q) for q in ctx.all_q[np.array(rows)]]
+    if balanced:
+        from .nt.native import combiner_for
+        comb = combiner_for(qs)
+        if comb is not None:
+            return comb.balanced_ints(coeff_residues)
     Q = 1
     for q in qs:
         Q *= q
@@ -174,6 +181,35 @@ def sample_hwt(ctx: Context, rng: np.random.Generator, hwt: int):
     idx = rng.choice(N, size=min(hwt, N), replace=False)
     coeffs[idx] = rng.choice([-1, 1], size=len(idx))
     return coeffs, ctx.noise_hwt(hwt)
+
+
+def _bounded(sampler, ctx: Context, rng, *args, tries: int = 1000):
+    """Rejection wrapper: resample until the actual canonical-embedding norm
+    is below the sampler's high-probability bound (reference sample.cpp
+    sampleSmallBounded / sampleGaussianBounded / sampleHWtBounded, which
+    retry up to 1000 times and warn on failure)."""
+    from .norms import embedding_largest_coeff_log2
+    coeffs = bound = None
+    for _ in range(tries):
+        coeffs, bound = sampler(ctx, rng, *args)
+        actual = embedding_largest_coeff_log2(coeffs, ctx.m, ctx.pal.pow2)
+        if actual <= bound:
+            return coeffs, bound
+    from .log import warning
+    warning("bounded sampler: no sample within bound after retries", once=True)
+    return coeffs, bound
+
+
+def sample_small_bounded(ctx: Context, rng: np.random.Generator):
+    return _bounded(sample_small, ctx, rng)
+
+
+def sample_gaussian_bounded(ctx: Context, rng: np.random.Generator):
+    return _bounded(sample_gaussian, ctx, rng)
+
+
+def sample_hwt_bounded(ctx: Context, rng: np.random.Generator, hwt: int):
+    return _bounded(sample_hwt, ctx, rng, hwt)
 
 
 def sample_uniform_residues(ctx: Context, rng: np.random.Generator,

@@ -156,11 +156,14 @@ def write_pubkey(f, pk: PubKey, include_matrices: bool = True):
                 {"from": [W.from_handle.powS, W.from_handle.powX,
                           W.from_handle.keyID],
                  "ptxt_space": W.ptxt_space, "noise": W.noise,
-                 "ncols": len(W.b)})
+                 "ncols": len(W.b), "prg_seed": W.prg_seed})
             for b in W.b:
                 arrays.append(np.asarray(b))
-            for a in W.a:
-                arrays.append(np.asarray(a))
+            # a-columns: only written when no PRG seed is recorded
+            # (reference keySwitching.h:67-108 stores just the seed)
+            if W.prg_seed is None:
+                for a in W.a:
+                    arrays.append(np.asarray(a))
     _write_block(f, "PubKey", meta, arrays)
 
 
@@ -179,12 +182,18 @@ def read_pubkey(f, ctx: Context, sk: SecKey | None = None) -> PubKey:
     matrices = {}
     for mm in hdr["matrices"]:
         nc = mm["ncols"]
+        seed = mm.get("prg_seed")
         b = [jnp.asarray(a) for a in arrays[pos:pos + nc]]
-        a_ = [jnp.asarray(a) for a in arrays[pos + nc:pos + 2 * nc]]
-        pos += 2 * nc
+        pos += nc
+        if seed is None:
+            a_ = [jnp.asarray(a) for a in arrays[pos:pos + nc]]
+            pos += nc
+        else:
+            from .keys import regen_ks_a
+            a_ = regen_ks_a(ctx, seed, nc)
         h = SKHandle(*mm["from"])
         matrices[(h.powS, h.powX)] = KSMatrix(h, mm["ptxt_space"], b, a_,
-                                              mm["noise"])
+                                              mm["noise"], seed)
     if sk is not None:
         sk.matrices.update(matrices)
         sk.pubkey = pk

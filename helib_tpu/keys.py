@@ -27,6 +27,8 @@ from .context import Context, log2_add, log2_sum
 from . import dcrt
 from .dcrt import (rt_add, rt_sub, rt_mul, rt_neg, rt_mul_scalar,
                    sample_small, sample_gaussian, sample_hwt,
+                   sample_small_bounded, sample_gaussian_bounded,
+                   sample_hwt_bounded,
                    sample_uniform_residues, small_coeffs_to_rt,
                    rt_automorph)
 from .nt.numbth import inv_mod
@@ -61,12 +63,25 @@ class SKHandle:
 
 @dataclass
 class KSMatrix:
-    """Hybrid key-switch matrix W[s'(X^powX)^powS -> s]."""
+    """Hybrid key-switch matrix W[s'(X^powX)^powS -> s].
+
+    Only the b columns carry key material; the a columns are uniform and are
+    regenerated deterministically from `prg_seed` (reference keySwitching.h:
+    67-108 stores a PRG seed instead of the random halves to halve the
+    serialized size).  They stay materialized in memory for speed."""
     from_handle: SKHandle
     ptxt_space: int
     b: list            # per column: [L+S, N] eval tensors
     a: list
     noise: float       # log2 bound on |p*e_j| per column
+    prg_seed: int | None = None
+
+
+def regen_ks_a(ctx: Context, prg_seed: int, ncols: int) -> list:
+    """Regenerate the uniform a-columns of a KS matrix from its PRG seed."""
+    prg = np.random.default_rng(prg_seed)
+    return [sample_uniform_residues(ctx, prg, ctx.L, True)
+            for _ in range(ncols)]
 
 
 class SecKey:
@@ -74,9 +89,9 @@ class SecKey:
         self.ctx = ctx
         self.rng = np.random.default_rng(seed)
         if hwt > 0:
-            coeffs, bound = sample_hwt(ctx, self.rng, hwt)
+            coeffs, bound = sample_hwt_bounded(ctx, self.rng, hwt)
         else:
-            coeffs, bound = sample_small(ctx, self.rng)
+            coeffs, bound = sample_small_bounded(ctx, self.rng)
         self.s_coeffs = coeffs
         self.sk_bound = bound                       # log2 canonical bound on s
         # secret key resident on ALL rows (ctxt + special)
@@ -85,11 +100,13 @@ class SecKey:
         self.pubkey: "PubKey" | None = None
 
     # -- raw RLWE instance over all rows ----------------------------------
-    def _rlwe_all_rows(self, p_mult: int):
-        """(b, a, log2 noise of p*e) with b = -a*s + p*e over all primes."""
+    def _rlwe_all_rows(self, p_mult: int, a_rng=None):
+        """(b, a, log2 noise of p*e) with b = -a*s + p*e over all primes.
+        `a_rng` lets KS-matrix generation draw the uniform half from a
+        dedicated seeded PRG so it can be regenerated at load time."""
         ctx = self.ctx
-        a = sample_uniform_residues(ctx, self.rng, ctx.L, True)
-        e_coeffs, _ = sample_gaussian(ctx, self.rng)
+        a = sample_uniform_residues(ctx, a_rng or self.rng, ctx.L, True)
+        e_coeffs, _ = sample_gaussian_bounded(ctx, self.rng)
         e = small_coeffs_to_rt(ctx, e_coeffs, ctx.L, True)
         pe = rt_mul_scalar(ctx, e, p_mult, ctx.L, True) if p_mult != 1 else e
         b = rt_sub(ctx, pe, rt_mul(ctx, a, self.s_full, ctx.L, True),
@@ -119,9 +136,11 @@ class SecKey:
             fk = acc
         P = ctx.prod_special()
         Bj = 1
+        prg_seed = int(self.rng.integers(1 << 62))
+        prg = np.random.default_rng(prg_seed)
         bs, as_, noise = [], [], 0.0
         for (s, e) in ctx.digits:
-            b, a, col_noise = self._rlwe_all_rows(p)
+            b, a, col_noise = self._rlwe_all_rows(p, a_rng=prg)
             add = rt_mul_scalar(ctx, fk, P * Bj, ctx.L, True)
             b = rt_add(ctx, b, add, ctx.L, True)
             bs.append(b)
@@ -131,13 +150,14 @@ class SecKey:
             for q in ctx.qs[s:e]:
                 Dfull *= int(q)
             Bj *= Dfull
-        W = KSMatrix(from_handle, p, bs, as_, noise)
+        W = KSMatrix(from_handle, p, bs, as_, noise, prg_seed)
         self.matrices[key] = W
         return W
 
     # -- decryption (reference keys.cpp:1327-1422) ------------------------
-    def decrypt_raw(self, ctxt) -> np.ndarray:
-        """<c, s-monomials> -> balanced integer coefficient vector (host)."""
+    def _inner_product_residues(self, ctxt):
+        """<c, s-monomials> as per-prime coefficient residues [(P, N), rows]
+        — the exact RNS value before the bignum CRT boundary."""
         ctx = self.ctx
         k, special = ctxt.k, ctxt.special
         rows = ctx.rows_of(k, special)
@@ -154,16 +174,27 @@ class SecKey:
                     pw = rt_mul(ctx, pw, sk, k, special)
                 term = rt_mul(ctx, data, pw, k, special)
             acc = term if acc is None else rt_add(ctx, acc, term, k, special)
-        coeff_res = np.asarray(ctx.inv_ntt(acc, rows))
-        return dcrt.crt_reconstruct(ctx, coeff_res, rows, balanced=True)
+        return np.asarray(ctx.inv_ntt(acc, rows)), rows
+
+    def decrypt_raw(self, ctxt) -> np.ndarray:
+        """<c, s-monomials> -> balanced integer coefficient vector (host)."""
+        coeff_res, rows = self._inner_product_residues(ctxt)
+        return dcrt.crt_reconstruct(self.ctx, coeff_res, rows, balanced=True)
 
     def decrypt_bgv(self, ctxt) -> np.ndarray:
         """Full BGV decrypt -> plaintext poly coeffs mod the ciphertext's
         plaintext space, degree < phi(m)."""
         ctx = self.ctx
         pr = ctxt.ptxt_space
-        vals = self.decrypt_raw(ctxt)               # balanced ints, len N
-        vals_pr = np.array([int(v) % pr for v in vals], dtype=np.int64)
+        coeff_res, rows = self._inner_product_residues(ctxt)
+        from .nt.native import combiner_for
+        comb = combiner_for([int(q) for q in ctx.all_q[np.array(rows)]])
+        if comb is not None:
+            # native fast path: balanced value mod p^r without object ints
+            vals_pr = comb.balanced_mod(coeff_res, pr)
+        else:
+            vals = dcrt.crt_reconstruct(ctx, coeff_res, rows, balanced=True)
+            vals_pr = np.array([int(v) % pr for v in vals], dtype=np.int64)
         red = reduce_mod_phim(vals_pr, ctx, pr)
         Q = 1
         for q in ctx.primes_of(ctxt.k, ctxt.special):
@@ -176,28 +207,23 @@ class SecKey:
         """log2 of the actual canonical-embedding L-infinity norm of <c, s>
         (reference embeddingLargestCoeff, norms.h:85 — the quantity the
         noiseBound estimates track)."""
-        vals = self.decrypt_raw(ctxt)
+        ctx = self.ctx
+        coeff_res, rows = self._inner_product_residues(ctxt)
+        from .nt.native import combiner_for
+        comb = combiner_for([int(q) for q in ctx.all_q[np.array(rows)]])
+        if comb is not None:
+            from .norms import embedding_norm_log2_scaled
+            mant, ex = comb.balanced_float_log2(coeff_res)
+            return embedding_norm_log2_scaled(mant, ex, ctx.m, ctx.pal.pow2)
+        vals = dcrt.crt_reconstruct(ctx, coeff_res, rows, balanced=True)
         return canonical_embedding_norm_log2(vals, self.ctx)
 
 
 def canonical_embedding_norm_log2(coeffs, ctx) -> float:
     """max_j |f(zeta^j)| over primitive m-th roots, from balanced integer
     coefficients (host, complex FFT; reference src/norms.cpp)."""
-    m = ctx.m
-    arr = np.array([float(int(v)) for v in coeffs], dtype=np.float64)
-    if ctx.pal.pow2:
-        N = ctx.n_eval
-        zeta = np.exp(1j * np.pi / N)
-        b = arr.astype(np.complex128) * zeta ** np.arange(len(arr))
-        vals = np.fft.ifft(b) * N
-        mx = float(np.max(np.abs(vals)))
-    else:
-        full = np.zeros(m, dtype=np.float64)
-        full[:len(arr)] = arr
-        spec = np.fft.fft(full)
-        prim = np.array([j for j in range(1, m) if math.gcd(j, m) == 1])
-        mx = float(np.max(np.abs(spec[prim])))
-    return math.log2(mx) if mx > 0 else float("-inf")
+    from .norms import embedding_largest_coeff_log2
+    return embedding_largest_coeff_log2(coeffs, ctx.m, ctx.pal.pow2)
 
 
 def reduce_mod_phim(coeffs: np.ndarray, ctx: Context, modulus: int) -> np.ndarray:
@@ -243,13 +269,13 @@ class PubKey:
         ctx = self.ctx
         pr = ctx.ptxt_space
         k, special = ctx.L, False
-        r_coeffs, r_bound = sample_small(ctx, rng)
+        r_coeffs, r_bound = sample_small_bounded(ctx, rng)
         r = small_coeffs_to_rt(ctx, r_coeffs, k, special)
         noise = r_bound + self.enc_noise   # r_bound * pubkey noise (log2 mult)
         parts = []
         for i, (handle, data) in enumerate(self.enc_key):
             part = rt_mul(ctx, data, r, k, special)
-            e_coeffs, _ = sample_gaussian(ctx, rng)
+            e_coeffs, _ = sample_gaussian_bounded(ctx, rng)
             pe = small_coeffs_to_rt(ctx, e_coeffs * pr, k, special)
             part = rt_add(ctx, part, pe, k, special)
             e_bound = math.log2(pr) + ctx.noise_gaussian()

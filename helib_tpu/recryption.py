@@ -287,8 +287,16 @@ def raw_mod_switch(ctxt: Ctxt, q: int, pwb=None) -> list[np.ndarray]:
     Qinv = inv_mod(Q % p2r, p2r)
     out = []
     parts = dict((h.powS, d) for h, d in ctxt.parts)
+    from .nt.native import combiner_for
+    comb = (combiner_for([int(qq) for qq in ctx.all_q[np.array(rows)]])
+            if (pwb is None and ctx.pal.pow2) else None)
     for i in (0, 1):
         res = np.asarray(ctx.inv_ntt(parts[i], rows))
+        if comb is not None:
+            # native fast path (power basis): the entire balanced-CRT +
+            # divmod-rounding loop in C++ (native/crt_kernels.cpp)
+            out.append(comb.mod_switch(res, q, p2r))
+            continue
         vals = dcrt.crt_reconstruct(ctx, res, rows, balanced=True)
         if pwb is not None:
             vals = pwb.poly_to_w_powerful(vals, Q)
@@ -486,9 +494,36 @@ def fat_recrypt(ctxt: Ctxt, rc: FatRecryptData, sk: SecKey) -> Ctxt:
     return acc
 
 
+# >0 forces the Chen-Han path, <0 forces the basic path, 0 = cost heuristic
+# (reference fhe_force_chen_han, recryption.cpp:791)
+fhe_force_chen_han = 0
+
+
+def _use_chen_han(p: int, r: int, bot_high: int) -> bool:
+    """Cost heuristic between the basic p-power ladder (digit-extraction
+    degree p^r-ish) and the Chen-Han magic polynomials (degree (p-1)*r-ish)
+    (reference extractDigitsThin, recryption.cpp:810-838)."""
+    use = False
+    if r > 1:
+        chen_han_cost = math.log(p - 1) + math.log(r)
+        if p == 2 and r > 2 and bot_high + r > 2:
+            basic_cost = (r - 1) * math.log(p)
+        else:
+            basic_cost = r * math.log(p)
+        thresh = 1.75 if p == 2 else 1.5
+        if basic_cost > thresh * chen_han_cost:
+            use = True
+    if fhe_force_chen_han > 0:
+        use = True
+    elif fhe_force_chen_han < 0:
+        use = False
+    return use
+
+
 def extract_digits_thin(ctxt: Ctxt, bot_high: int, r: int, e_prime: int,
                         sk: SecKey) -> Ctxt:
-    """Reference extractDigitsThin (recryption.cpp:793), basic branch."""
+    """Reference extractDigitsThin (recryption.cpp:793): basic p-power
+    ladder or Chen-Han extended extraction, chosen by degree cost."""
     ctx = ctxt.ctx
     p = ctx.p
     p2r = p**r
@@ -497,18 +532,29 @@ def extract_digits_thin(ctxt: Ctxt, bot_high: int, r: int, e_prime: int,
     unpacked.relinearize(sk)
     unpacked.drop_special_primes()
 
-    if p == 2 and r > 2 and top_high + 1 > 2:
-        top_high -= 1
-    scratch = extract_digits(unpacked, sk, top_high + 1)
-    top_high = min(top_high, len(scratch) - 1)
+    if _use_chen_han(p, r, bot_high):
+        from .algos.extract import extend_extract_digits
+        scratch = extend_extract_digits(unpacked, sk, bot_high, r)
+        acc = unpacked
+        for j in range(bot_high):
+            acc = acc.sub(scratch[j])
+            acc.divide_by_p()
+        if p == 2 and bot_high > 0:
+            acc = acc.add(scratch[bot_high - 1])
+        acc.negate()
+    else:
+        if p == 2 and r > 2 and top_high + 1 > 2:
+            top_high -= 1
+        scratch = extract_digits(unpacked, sk, top_high + 1)
+        top_high = min(top_high, len(scratch) - 1)
 
-    acc = scratch[top_high].copy()
-    for j in range(top_high - 1, bot_high - 1, -1):
-        acc.mult_by_p()
-        acc = acc.add(scratch[j])
-    if p == 2 and bot_high > 0:
-        acc = acc.add(scratch[bot_high - 1])
-    acc.negate()
+        acc = scratch[top_high].copy()
+        for j in range(top_high - 1, bot_high - 1, -1):
+            acc.mult_by_p()
+            acc = acc.add(scratch[j])
+        if p == 2 and bot_high > 0:
+            acc = acc.add(scratch[bot_high - 1])
+        acc.negate()
     if r > e_prime:
         top_low = r - 1 - e_prime
         tmp = scratch[top_low].copy()

@@ -104,3 +104,47 @@ def test_extract_digits(p, r):
         bal = ((rem + (p - 1) // 2) % p) - (p - 1) // 2
         np.testing.assert_array_equal(got, bal % p, err_msg=str(j))
         rem = (rem - bal) // p
+
+
+@pytest.mark.parametrize("p,r,e", [(2, 2, 2), (5, 2, 1)])
+def test_extend_extract_digits_chen_han(p, r, e):
+    """Chen-Han extended digit extraction: digits[j] of integers mod p^{r+e}
+    with plaintext space p^{e+r-j} (reference extendExtractDigits,
+    extractDigits.cpp:225)."""
+    from helib_tpu.algos.extract import extend_extract_digits
+    ctx = Context(m=31, p=p, r=r + e, bits=900, c=3, scheme="bgv")
+    sk = SecKey(ctx, seed=47)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rng = np.random.default_rng(53)
+    pe = p ** (r + e)
+    vals = rng.integers(0, pe, ea.nslots)
+    ct = ea.encrypt(list(vals), pk, rng)
+    digits = extend_extract_digits(ct, sk, r, e)
+    assert len(digits) == r
+    rem = vals.astype(np.int64).copy()
+    for j, dj in enumerate(digits):
+        assert dj.is_correct(), (j, dj.capacity())
+        got = ea.decrypt_ints(dj, sk) % p
+        bal = ((rem + (p - 1) // 2) % p) - (p - 1) // 2
+        # the magic poly returns the digit in [0,1] for p=2, balanced else
+        want = (rem % p) if p == 2 else bal % p
+        np.testing.assert_array_equal(got % p, want % p, err_msg=str(j))
+        rem = (rem - (rem % p if p == 2 else bal)) // p
+
+
+def test_chen_han_cost_heuristic():
+    from helib_tpu import recryption as rc
+    # p=2, r=1: basic squaring, never chen-han
+    assert not rc._use_chen_han(2, 1, 5)
+    # large p, moderate r: chen-han degree (p-1)r << p^r
+    assert rc._use_chen_han(17, 3, 5)
+    # force flags override
+    old = rc.fhe_force_chen_han
+    try:
+        rc.fhe_force_chen_han = 1
+        assert rc._use_chen_han(2, 1, 5)
+        rc.fhe_force_chen_han = -1
+        assert not rc._use_chen_han(17, 3, 5)
+    finally:
+        rc.fhe_force_chen_han = old

@@ -121,3 +121,20 @@ def test_matmul_ckks():
     out = mm.apply(ct, sk)
     got = ea.decrypt(out, sk)
     assert dist(got, M @ z) < 1e-2, dist(got, M @ z)
+
+
+def test_li_micciancio_decrypt_noise(setup):
+    """Mitigated decrypt adds key/ctxt-derived noise: deterministic per
+    (sk, ctxt), different from rawDecrypt, within ~2x the error bound
+    (reference EaCx.cpp:88-131, Ctxt.cpp:3051)."""
+    ctx, sk, pk, ea, rng = setup
+    z = rand_slots(ea, rng)
+    ct = ea.encrypt(z, pk, rng)
+    d1 = ea.decrypt(ct, sk)
+    d2 = ea.decrypt(ct, sk)
+    assert dist(d1, d2) == 0.0            # derandomized via hash(sk, ctxt)
+    raw = ea.raw_decrypt(ct, sk)
+    assert dist(d1, raw) > 0.0            # noise actually added
+    # total error stays bounded: |dec - z| <= errorBound + added eps (plus
+    # the sigma_min floor); allow a generous constant factor
+    assert dist(d1, z) < 16 * max(ct.error_bound(), 1e-6) + 1e-4

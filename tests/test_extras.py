@@ -140,6 +140,48 @@ def test_pubkey_io(setup):
     np.testing.assert_array_equal(ea.decrypt_ints(ct, sk2), s)
 
 
+def test_pubkey_io_prg_seeded_matrices(setup):
+    """KS matrices serialize only their b-columns + PRG seed; the uniform
+    a-columns are regenerated at load (reference keySwitching.h:67-108)."""
+    ctx, sk, pk, ea, rng = setup
+    from helib_tpu.keys import SKHandle
+    sk.gen_ks_matrix(SKHandle(2, 1, 0))     # relin matrix
+    W = sk.matrices[(2, 1)]
+    assert W.prg_seed is not None
+    data = hio.to_bytes(hio.write_pubkey, pk, True)
+    # seeded format must be smaller than one that stores the a-columns too
+    a_bytes = sum(np.asarray(a).nbytes for a in W.a)
+    sk2 = hio.from_bytes(hio.read_seckey,
+                         hio.to_bytes(hio.write_seckey, sk), ctx)
+    pk2 = hio.from_bytes(hio.read_pubkey, data, ctx, sk2)
+    assert len(data) <= a_bytes * 2 + sum(
+        np.asarray(b).nbytes for b in W.b) + 65536
+    W2 = sk2.matrices[(2, 1)]
+    for a1, a2 in zip(W.a, W2.a):
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    # a mult+relin using the RELOADED matrices decrypts correctly
+    s = rng.integers(0, 2, ea.nslots)
+    ct = ea.encrypt(list(s), pk2, rng)
+    ct2 = ct.multiply(ct, sk2)
+    np.testing.assert_array_equal(ea.decrypt_ints(ct2, sk2), s * s)
+
+
+def test_bounded_samplers():
+    """Bounded rejection samplers return samples whose actual canonical
+    norm is within the stated bound (reference sample.cpp *Bounded)."""
+    from helib_tpu.context import Context
+    from helib_tpu import dcrt
+    from helib_tpu.norms import embedding_largest_coeff_log2
+    ctx = Context(m=45, p=2, r=1, bits=120, c=2, scheme="bgv")
+    rng = np.random.default_rng(7)
+    for fn, args in [(dcrt.sample_small_bounded, ()),
+                     (dcrt.sample_gaussian_bounded, ()),
+                     (dcrt.sample_hwt_bounded, (8,))]:
+        coeffs, bound = fn(ctx, rng, *args)
+        actual = embedding_largest_coeff_log2(coeffs, ctx.m, ctx.pal.pow2)
+        assert actual <= bound, (fn.__name__, actual, bound)
+
+
 def test_argmap():
     am = (ArgMap().arg("m", 45, "cyclotomic").arg("p", 2).required()
           .toggle("verbose"))
