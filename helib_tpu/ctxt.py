@@ -208,8 +208,8 @@ class Ctxt:
         for q in ctx.primes_of(self.k, self.special):
             Q *= int(q)
         f = (Q % pr) * self.intFactor % pr
-        fixed = np.array([balanced_int(int(c) * f % pr, pr) for c in coeffs],
-                         dtype=np.int64)
+        fixed = (np.asarray(coeffs, dtype=np.int64) * f) % pr
+        fixed -= (fixed > pr // 2) * pr
         pt = dcrt.small_coeffs_to_rt(ctx, fixed, self.k, self.special)
         i = self._find_part(SKHandle(0, 1, 0))
         self.parts[i] = (self.parts[i][0],
@@ -219,8 +219,8 @@ class Ctxt:
     def mul_constant_poly(self, coeffs: np.ndarray, mag: float | None = None):
         """Multiply by an encoded plaintext poly (balanced lift mod p^r)."""
         ctx, pr = self.ctx, self.ptxt_space
-        fixed = np.array([balanced_int(int(c), pr) for c in coeffs],
-                         dtype=np.int64)
+        fixed = np.asarray(coeffs, dtype=np.int64) % pr
+        fixed -= (fixed > pr // 2) * pr
         pt = dcrt.small_coeffs_to_rt(ctx, fixed, self.k, self.special)
         self.parts = [(h, rt_mul(ctx, d, pt, self.k, self.special))
                       for h, d in self.parts]
@@ -290,11 +290,13 @@ class Ctxt:
         return self.multiply(self, sk)
 
     # ------------------------------------------------------- key switching
-    def relinearize(self, sk: SecKey):
+    def relinearize(self, sk: SecKey, to_key: int = 0):
         """Reference Ctxt::reLinearize (Ctxt.cpp:718-786): mod-up by special
-        primes, key-switch all non-canonical parts, leave specials in."""
+        primes, key-switch all non-canonical parts, leave specials in.
+        `to_key` selects the target secret (reference reLinearize(keyID) —
+        used to switch onto the sparse recryption key, recryption.cpp:431)."""
         ctx = self.ctx
-        if all(h.is_one or h.is_base() for h, _ in self.parts):
+        if all(h.is_one or h.is_base(to_key) for h, _ in self.parts):
             return self
         self.drop_special_primes()
         k = self.k
@@ -310,10 +312,10 @@ class Ctxt:
 
         ks_noise = NEG_INF
         for h, d in self.parts:
-            if h.is_one or h.is_base():
+            if h.is_one or h.is_base(to_key):
                 add_acc(h, rt_add_special_and_scale(ctx, d, k))
                 continue
-            W = sk.gen_ks_matrix(h)
+            W = sk.gen_ks_matrix(h, to_key=to_key)
             if W.ptxt_space > 1 and self.ptxt_space > 1:
                 g = math.gcd(W.ptxt_space, self.ptxt_space)
                 self.ptxt_space = g
@@ -323,7 +325,7 @@ class Ctxt:
                 bj = W.b[j][rows, :]
                 aj = W.a[j][rows, :]
                 add_acc(SKHandle(0, 1, 0), rt_mul(ctx, Rj, bj, k, True))
-                add_acc(SKHandle(1, 1, 0), rt_mul(ctx, Rj, aj, k, True))
+                add_acc(SKHandle(1, 1, to_key), rt_mul(ctx, Rj, aj, k, True))
             ks_noise = log2_add(ks_noise, digit_noise + W.noise)
         self.parts = [(h, d) for h, d in acc.items()]
         self.k, self.special = k, True

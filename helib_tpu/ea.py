@@ -40,7 +40,18 @@ class EncryptedArray:
         self.d = pal.d
         self.nslots = pal.nslots
         self.m = ctx.m
+        self._mask_cache: dict = {}
         p, r, pr, d = self.p, self.r, self.pr, self.d
+
+        # fast vectorized table construction for large m (nt/slotalg.py):
+        # gate on (m, p, d) only so every EA view of one context (including
+        # the recryption r_override view) picks the same G mod p
+        import os
+        self._fast = ((ctx.phi_m > 2500 or os.environ.get("HELIB_FAST_EA"))
+                      and 1 <= d <= 64)
+        if self._fast:
+            self._build_tables_fast()
+            return
 
         phim_p = pm.trim([int(c) % p for c in cyclotomic_poly(self.m)])
         facs_p = pm.equal_degree_factor(phim_p, d, p)
@@ -90,10 +101,91 @@ class EncryptedArray:
             unit = pm.pmod(pm.pmul(cof, cof_inv, pr), phim_pr, pr)
             self.units.append(unit)
 
+    # ------------------------------------------- fast path (nt/slotalg.py)
+    def _build_tables_fast(self):
+        from .nt import slotalg as sa
+        ctx = self.ctx
+        p, r, pr, d = self.p, self.r, self.pr, self.d
+        reps = ctx.pal.representatives()
+        self.reps = reps
+        phim = cyclotomic_poly(self.m)
+        h = sa.find_irreducible(p, d)
+        zeta = sa.order_m_element(self.m, p, d, h)
+        F_p = sa.batched_minpolys(self.m, p, d, reps, h, zeta)
+        self._F = sa.hensel_lift_factors(phim, F_p, p, r)
+        self.G = [int(v) for v in self._F[0]]
+        self.factors = self._F          # [nslots, d+1] rows
+        self._U = sa.batched_crt_units(phim, self._F, p, r)
+        self.units = self._U            # [nslots, phi] rows
+        gb = sa.GaloisBatch(self.G, pr)
+        if d == 1:
+            Zt = sa.GaloisBatch(self.G, pr).pow_vec(
+                np.array([(-self.G[0]) % pr], dtype=np.int64),
+                np.asarray(reps, dtype=np.int64))
+        else:
+            Y = np.zeros(d, dtype=np.int64)
+            Y[1] = 1
+            Zt = gb.pow_vec(Y, np.asarray(reps, dtype=np.int64))
+        B = np.zeros((self.nslots, d, d), dtype=np.int64)
+        cur = np.zeros((self.nslots, d), dtype=np.int64)
+        cur[:, 0] = 1
+        for i in range(d):
+            B[:, :, i] = cur
+            if i < d - 1:
+                cur = gb.mul(cur, Zt)
+        self.B = B
+        self.C = sa.batched_inv_matrices(B, p, r)
+        self._phim_pr = np.array([int(c) % pr for c in phim],
+                                 dtype=np.int64)
+
+    def _slots_to_mat(self, slots) -> np.ndarray:
+        pr, d = self.pr, self.d
+        c = np.zeros((self.nslots, d), dtype=np.int64)
+        for si in range(min(self.nslots, len(slots))):
+            v = slots[si]
+            if np.isscalar(v) or isinstance(v, (int, np.integer)):
+                c[si, 0] = int(v) % pr
+            else:
+                vv = np.asarray(v, dtype=np.int64) % pr
+                c[si, :len(vv)] = vv
+        return c
+
+    def _encode_fast(self, slots) -> np.ndarray:
+        from .nt.slotalg import exact_matmul
+        pr, d, phi = self.pr, self.d, self.ctx.phi_m
+        c = self._slots_to_mat(slots)
+        # rho[t] = C[t] @ c[t] mod pr (einsum exact: 15-bit split of C)
+        rho = ((np.einsum('tij,tj->ti', self.C >> 15, c) % pr << 15)
+               + np.einsum('tij,tj->ti', self.C & 0x7FFF, c)) % pr
+        rows = exact_matmul(rho.T, self._U, pr)       # [d, phi]
+        poly = np.zeros(phi + d - 1, dtype=np.int64)
+        for j in range(d):
+            poly[j:j + phi] = (poly[j:j + phi] + rows[j]) % pr
+        # reduce mod Phi_m (top d-1 coefficients)
+        for i in range(phi + d - 2, phi - 1, -1):
+            cc = poly[i]
+            if cc:
+                poly[i - phi:i + 1] = (poly[i - phi:i + 1]
+                                       - cc * self._phim_pr) % pr
+        return poly[:phi]
+
+    def _decode_fast(self, poly) -> list[np.ndarray]:
+        from .nt import slotalg as sa
+        pr, d = self.pr, self.d
+        pl = np.zeros(self.ctx.phi_m, dtype=np.int64)
+        arr = np.asarray(poly, dtype=np.int64) % pr
+        pl[:len(arr)] = arr[:self.ctx.phi_m]
+        _, resid = sa.batched_divmod_same(pl, self._F, pr)
+        vals = ((np.einsum('tij,tj->ti', self.B >> 15, resid) % pr << 15)
+                + np.einsum('tij,tj->ti', self.B & 0x7FFF, resid)) % pr
+        return [vals[si] for si in range(self.nslots)]
+
     # ------------------------------------------------------------ encoding
     def encode(self, slots) -> np.ndarray:
         """slots: length-nslots list; each entry an int (constant slot) or a
         length-<=d coeff vector over Z_{p^r}.  Returns phi(m)-coeff poly."""
+        if self._fast:
+            return self._encode_fast(slots)
         pr, d = self.pr, self.d
         poly = []
         for si in range(self.nslots):
@@ -115,6 +207,8 @@ class EncryptedArray:
 
     def decode(self, poly) -> list[np.ndarray]:
         """phi(m)-coeff poly mod p^r -> list of slot coeff vectors (len d)."""
+        if self._fast:
+            return self._decode_fast(poly)
         pr, d = self.pr, self.d
         pl = [int(c) % pr for c in np.asarray(poly)]
         out = []
@@ -142,13 +236,21 @@ class EncryptedArray:
 
     # ---------------------------------------------------------- rotations
     def mask_poly(self, dim: int, lo: int, hi: int) -> np.ndarray:
-        """Encoded 0/1 mask: 1 on slots whose dim-coordinate is in [lo, hi)."""
+        """Encoded 0/1 mask: 1 on slots whose dim-coordinate is in [lo, hi)
+        (cached — the reference precomputes these in PAlgebraMod::maskTable,
+        PAlgebra.h:655-668)."""
+        key = (dim, lo, hi)
+        cached = self._mask_cache.get(key)
+        if cached is not None:
+            return cached
         pal = self.ctx.pal
         slots = []
         for s in range(self.nslots):
             e = pal.coords(s)[dim]
             slots.append(1 if lo <= e < hi else 0)
-        return self.encode(slots)
+        out = self.encode(slots)
+        self._mask_cache[key] = out
+        return out
 
     def rotate_1d(self, ctxt, dim: int, amt: int, sk: SecKey):
         """Cyclic rotation along hypercube dim (reference rotate1D,

@@ -124,8 +124,10 @@ def read_ctxt(f, ctx: Context, pubkey: PubKey) -> Ctxt:
 # ---------------------------------------------------------------------------
 
 def write_seckey(f, sk: SecKey):
-    coeffs = np.asarray(sk.s_coeffs % (1 << 32), dtype=np.uint32)
-    _write_block(f, "SecKey", {"sk_bound": sk.sk_bound}, [coeffs])
+    arrays = [np.asarray(k["coeffs"] % (1 << 32), dtype=np.uint32)
+              for k in sk.skeys]
+    _write_block(f, "SecKey",
+                 {"sk_bounds": [k["bound"] for k in sk.skeys]}, arrays)
 
 
 def read_seckey(f, ctx: Context) -> SecKey:
@@ -133,12 +135,15 @@ def read_seckey(f, ctx: Context) -> SecKey:
     sk = SecKey.__new__(SecKey)
     sk.ctx = ctx
     sk.rng = np.random.default_rng(0)
-    coeffs = arrays[0].astype(np.int64)
-    coeffs[coeffs > (1 << 31)] -= (1 << 32)
-    sk.s_coeffs = coeffs
-    sk.sk_bound = hdr["sk_bound"]
     from .dcrt import small_coeffs_to_rt
-    sk.s_full = small_coeffs_to_rt(ctx, coeffs, ctx.L, True)
+    bounds = hdr.get("sk_bounds") or [hdr["sk_bound"]]
+    sk.skeys = []
+    for raw, bound in zip(arrays, bounds):
+        coeffs = raw.astype(np.int64)
+        coeffs[coeffs > (1 << 31)] -= (1 << 32)
+        sk.skeys.append({"coeffs": coeffs, "bound": bound,
+                         "full": small_coeffs_to_rt(ctx, coeffs,
+                                                    ctx.L, True)})
     sk.matrices = {}
     sk.pubkey = None
     return sk
@@ -156,7 +161,8 @@ def write_pubkey(f, pk: PubKey, include_matrices: bool = True):
                 {"from": [W.from_handle.powS, W.from_handle.powX,
                           W.from_handle.keyID],
                  "ptxt_space": W.ptxt_space, "noise": W.noise,
-                 "ncols": len(W.b), "prg_seed": W.prg_seed})
+                 "ncols": len(W.b), "prg_seed": W.prg_seed,
+                 "to_key": W.to_key})
             for b in W.b:
                 arrays.append(np.asarray(b))
             # a-columns: only written when no PRG seed is recorded
@@ -192,8 +198,11 @@ def read_pubkey(f, ctx: Context, sk: SecKey | None = None) -> PubKey:
             from .keys import regen_ks_a
             a_ = regen_ks_a(ctx, seed, nc)
         h = SKHandle(*mm["from"])
-        matrices[(h.powS, h.powX)] = KSMatrix(h, mm["ptxt_space"], b, a_,
-                                              mm["noise"], seed)
+        to_key = mm.get("to_key", 0)
+        mkey = ((h.powS, h.powX) if h.keyID == 0 and to_key == 0
+                else (h.powS, h.powX, h.keyID, to_key))
+        matrices[mkey] = KSMatrix(h, mm["ptxt_space"], b, a_,
+                                  mm["noise"], seed, to_key)
     if sk is not None:
         sk.matrices.update(matrices)
         sk.pubkey = pk

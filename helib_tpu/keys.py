@@ -75,6 +75,7 @@ class KSMatrix:
     a: list
     noise: float       # log2 bound on |p*e_j| per column
     prg_seed: int | None = None
+    to_key: int = 0    # target secret (reference KeySwitch::toKeyID)
 
 
 def regen_ks_a(ctx: Context, prg_seed: int, ncols: int) -> list:
@@ -85,39 +86,76 @@ def regen_ks_a(ctx: Context, prg_seed: int, ncols: int) -> list:
 
 
 class SecKey:
+    """Secret key(s).  Multi-key: `skeys` is a list of secrets (reference
+    SecKey::sKeys, keys.h:314; GenSecKey appends and returns the keyID,
+    keys.cpp:1139); keyID 0 is the main key and the aliases
+    s_coeffs/sk_bound/s_full refer to it."""
+
     def __init__(self, ctx: Context, seed: int = 0, hwt: int = 0):
         self.ctx = ctx
         self.rng = np.random.default_rng(seed)
+        self.skeys: list[dict] = []
+        self.matrices: dict = {}
+        self.pubkey: "PubKey" | None = None
+        self.gen_key(hwt)
+
+    def gen_key(self, hwt: int = 0) -> int:
+        """Sample and append an additional secret key; returns its keyID
+        (reference SecKey::GenSecKey / ImportSecKey, keys.cpp:1099-1157)."""
+        ctx = self.ctx
         if hwt > 0:
             coeffs, bound = sample_hwt_bounded(ctx, self.rng, hwt)
         else:
             coeffs, bound = sample_small_bounded(ctx, self.rng)
-        self.s_coeffs = coeffs
-        self.sk_bound = bound                       # log2 canonical bound on s
         # secret key resident on ALL rows (ctxt + special)
-        self.s_full = small_coeffs_to_rt(ctx, coeffs, ctx.L, True)
-        self.matrices: dict = {}
-        self.pubkey: "PubKey" | None = None
+        full = small_coeffs_to_rt(ctx, coeffs, ctx.L, True)
+        self.skeys.append({"coeffs": coeffs, "bound": bound, "full": full})
+        return len(self.skeys) - 1
+
+    # key-0 aliases (the common single-key surface)
+    @property
+    def s_coeffs(self):
+        return self.skeys[0]["coeffs"]
+
+    @property
+    def sk_bound(self):
+        return self.skeys[0]["bound"]
+
+    @property
+    def s_full(self):
+        return self.skeys[0]["full"]
+
+    def key_full(self, keyID: int):
+        return self.skeys[keyID]["full"]
+
+    def key_bound(self, keyID: int) -> float:
+        return self.skeys[keyID]["bound"]
 
     # -- raw RLWE instance over all rows ----------------------------------
-    def _rlwe_all_rows(self, p_mult: int, a_rng=None):
-        """(b, a, log2 noise of p*e) with b = -a*s + p*e over all primes.
-        `a_rng` lets KS-matrix generation draw the uniform half from a
-        dedicated seeded PRG so it can be regenerated at load time."""
+    def _rlwe_all_rows(self, p_mult: int, a_rng=None, to_key: int = 0):
+        """(b, a, log2 noise of p*e) with b = -a*s_{to_key} + p*e over all
+        primes.  `a_rng` lets KS-matrix generation draw the uniform half from
+        a dedicated seeded PRG so it can be regenerated at load time."""
         ctx = self.ctx
         a = sample_uniform_residues(ctx, a_rng or self.rng, ctx.L, True)
         e_coeffs, _ = sample_gaussian_bounded(ctx, self.rng)
         e = small_coeffs_to_rt(ctx, e_coeffs, ctx.L, True)
         pe = rt_mul_scalar(ctx, e, p_mult, ctx.L, True) if p_mult != 1 else e
-        b = rt_sub(ctx, pe, rt_mul(ctx, a, self.s_full, ctx.L, True),
+        b = rt_sub(ctx, pe,
+                   rt_mul(ctx, a, self.key_full(to_key), ctx.L, True),
                    ctx.L, True)
         noise = math.log2(max(p_mult, 1)) + ctx.noise_gaussian()
         return b, a, noise
 
     # -- key-switching matrix generation (reference keys.cpp:1159-1246) ---
     def gen_ks_matrix(self, from_handle: SKHandle,
-                      ptxt_space: int | None = None) -> KSMatrix:
-        key = (from_handle.powS, from_handle.powX)
+                      ptxt_space: int | None = None,
+                      to_key: int = 0) -> KSMatrix:
+        if from_handle.keyID == 0 and to_key == 0:
+            key = (from_handle.powS, from_handle.powX)
+        else:
+            key = (from_handle.powS, from_handle.powX,
+                   from_handle.keyID, to_key)
         if key in self.matrices:
             return self.matrices[key]
         ctx = self.ctx
@@ -125,8 +163,8 @@ class SecKey:
         # for every matrix (reference GenKeySWmatrix, keys.cpp:1212-1222)
         default_space = getattr(ctx, "boot_ptxt_space", 0) or ctx.ptxt_space
         p = 1 if ctx.scheme == "ckks" else (ptxt_space or default_space)
-        # fromKey = s^powS(X^powX) on all rows
-        fk = self.s_full
+        # fromKey = s_{keyID}^powS(X^powX) on all rows
+        fk = self.key_full(from_handle.keyID)
         if from_handle.powX != 1:
             fk = rt_automorph(ctx, fk, from_handle.powX)
         if from_handle.powS > 1:
@@ -140,7 +178,8 @@ class SecKey:
         prg = np.random.default_rng(prg_seed)
         bs, as_, noise = [], [], 0.0
         for (s, e) in ctx.digits:
-            b, a, col_noise = self._rlwe_all_rows(p, a_rng=prg)
+            b, a, col_noise = self._rlwe_all_rows(p, a_rng=prg,
+                                                  to_key=to_key)
             add = rt_mul_scalar(ctx, fk, P * Bj, ctx.L, True)
             b = rt_add(ctx, b, add, ctx.L, True)
             bs.append(b)
@@ -150,7 +189,7 @@ class SecKey:
             for q in ctx.qs[s:e]:
                 Dfull *= int(q)
             Bj *= Dfull
-        W = KSMatrix(from_handle, p, bs, as_, noise, prg_seed)
+        W = KSMatrix(from_handle, p, bs, as_, noise, prg_seed, to_key)
         self.matrices[key] = W
         return W
 
@@ -166,7 +205,7 @@ class SecKey:
         for handle, data in ctxt.parts:
             term = data
             if not handle.is_one:
-                sk = self.s_full[idx, :]
+                sk = self.key_full(handle.keyID)[idx, :]
                 if handle.powX != 1:
                     sk = rt_automorph(ctx, sk, handle.powX)
                 pw = sk
@@ -286,8 +325,8 @@ class PubKey:
         # ptxt * [Q]_p, balanced mod p^r
         Q = ctx.prod_qs(k)
         qmodp = Q % pr
-        fixed = np.array([balanced_int(int(c) * qmodp % pr, pr)
-                          for c in ptxt_coeffs], dtype=np.int64)
+        fixed = (np.asarray(ptxt_coeffs, dtype=np.int64) * qmodp) % pr
+        fixed -= (fixed > pr // 2) * pr
         pt = small_coeffs_to_rt(ctx, fixed, k, special)
         parts[0] = (parts[0][0], rt_add(ctx, parts[0][1], pt, k, special))
         noise = log2_add(noise, ctx.noise_mod(pr))

@@ -189,19 +189,9 @@ class RecryptData:
         self.hwt = hwt
         self.e, self.ePrime = set_ae(ctx, hwt)
         self.q = ctx.p**self.e + 1
-        # slotToCoeff: x -> sum_t slot_const_t(x) * X^t
         pr = ea.pr
         phi = ctx.phi_m
         n = ea.nslots
-        img1: dict[int, np.ndarray] = {}
-        for j in range(phi):
-            mono = np.zeros(phi, dtype=np.int64)
-            mono[j] = 1
-            consts = np.array([int(s[0]) % pr for s in ea.decode(mono)])
-            out = np.zeros(phi, dtype=np.int64)
-            out[:n] = consts
-            if np.any(out):
-                img1[j] = out
         self.ea_big = EncryptedArray(ctx, r_override=self.e - self.ePrime
                                      + ctx.r)
         self.pwb = None
@@ -219,6 +209,16 @@ class RecryptData:
             self.pwb = PowerfulBasis(ctx.m, list(ctx.pal.mvec))
         else:
             # dense sigma-span maps (small m fallback)
+            # slotToCoeff: x -> sum_t slot_const_t(x) * X^t
+            img1: dict[int, np.ndarray] = {}
+            for j in range(phi):
+                mono = np.zeros(phi, dtype=np.int64)
+                mono[j] = 1
+                consts = np.array([int(s[0]) % pr for s in ea.decode(mono)])
+                out = np.zeros(phi, dtype=np.int64)
+                out[:n] = consts
+                if np.any(out):
+                    img1[j] = out
             self.slot_to_coeff = LinearMapR(ea, img1)
             img2: dict[int, np.ndarray] = {}
             for t in range(n):
@@ -227,7 +227,6 @@ class RecryptData:
                 unit[:len(u)] = u
                 img2[t] = unit
             self.coeff_to_slot = LinearMapR(self.ea_big, img2)
-        # recryption key: encryption of s with plaintext space p^{e-e'+r}
         big_space = ctx.p ** (self.e - self.ePrime + ctx.r)
         assert big_space < (1 << 30)
         self.big_space = big_space
@@ -236,7 +235,14 @@ class RecryptData:
         sk.matrices.clear()
         if sk.pubkey is None:
             PubKey(sk)
-        self.ekey = _encrypt_with_space(sk, sk.s_coeffs, big_space)
+        # separate SPARSE recryption key s' appended to the key list
+        # (reference SecKey::genRecryptData, keys.cpp:1678): the ciphertext
+        # is key-switched onto s' before rawModSwitch so the hwt bound used
+        # by setAE applies regardless of the main key's density, and ekey is
+        # an encryption of s' under the main key with the big space.
+        self.recrypt_key = sk.gen_key(hwt)
+        self.ekey = _encrypt_with_space(
+            sk, sk.skeys[self.recrypt_key]["coeffs"], big_space)
 
     def __repr__(self):
         return (f"RecryptData(e={self.e}, ePrime={self.ePrime}, q={self.q}, "
@@ -257,8 +263,8 @@ def _encrypt_with_space(sk: SecKey, coeffs: np.ndarray, space: int) -> Ctxt:
     from .dcrt import rt_mul, rt_sub, rt_add
     b = rt_sub(ctx, pe, rt_mul(ctx, a, s_rows, k, special), k, special)
     Q = ctx.prod_qs(k)
-    fixed = np.array([balanced_int(int(c) * (Q % space) % space, space)
-                      for c in coeffs], dtype=np.int64)
+    fixed = (np.asarray(coeffs, dtype=np.int64) * (Q % space)) % space
+    fixed -= (fixed > space // 2) * space
     pt = dcrt.small_coeffs_to_rt(ctx, fixed, k, special)
     b = rt_add(ctx, b, pt, k, special)
     from .keys import SKHandle
@@ -344,13 +350,10 @@ def make_divisible(zz: np.ndarray, p2e_prime: int, q: int) -> np.ndarray:
     if p2e_prime == 1:
         return zz
     assert q % p2e_prime == 1
-    out = zz.copy()
-    for j in range(len(out)):
-        z = int(out[j])
-        zmod = z % p2e_prime
-        v = -zmod if zmod <= p2e_prime // 2 else p2e_prime - zmod
-        out[j] = z + v * q
-    return out
+    z = np.asarray(zz, dtype=np.int64)
+    zmod = z % p2e_prime
+    v = np.where(zmod <= p2e_prime // 2, -zmod, p2e_prime - zmod)
+    return z + v * q
 
 
 def thin_recrypt(ctxt: Ctxt, rc: RecryptData, sk: SecKey) -> Ctxt:
@@ -370,9 +373,10 @@ def thin_recrypt(ctxt: Ctxt, rc: RecryptData, sk: SecKey) -> Ctxt:
     ct.drop_special_primes()
     ct.bring_to_k(min(ct.k, 6))
 
-    # slots -> coefficients
+    # slots -> coefficients, then switch onto the sparse recryption key
+    # (reference thinReCrypt: reLinearize(recryptKeyID), recryption.cpp:990+)
     ct = rc.slot_to_coeff.apply(ct, sk)
-    ct.relinearize(sk)
+    ct.relinearize(sk, to_key=rc.recrypt_key)
     ct.drop_special_primes()
     ct.bring_to_k(min(ct.k, 3))
 
@@ -456,7 +460,7 @@ def fat_recrypt(ctxt: Ctxt, rc: FatRecryptData, sk: SecKey) -> Ctxt:
     intF = ctxt.intFactor
 
     ct = ctxt.copy()
-    ct.relinearize(sk)
+    ct.relinearize(sk, to_key=rc.recrypt_key)
     ct.drop_special_primes()
     ct.bring_to_k(min(ct.k, 3))
 

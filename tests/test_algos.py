@@ -56,6 +56,36 @@ def test_replicate(setup):
                                   np.full(ea.nslots, s[pos]))
 
 
+def test_replicate_all(setup):
+    """Recursive replicateAll (reference replicateAll, replicate.cpp:716):
+    every output ciphertext has one slot broadcast everywhere."""
+    from helib_tpu.algos.replicate import replicate_all, ReplicateHandler
+    ctx, sk, pk, ea, rng = setup
+    s = rng.integers(0, ctx.ptxt_space, ea.nslots)
+    outs = replicate_all(ea, enc(ea, pk, rng, s), sk)
+    assert len(outs) == ea.nslots
+    for i, ct in enumerate(outs):
+        np.testing.assert_array_equal(ea.decrypt_ints(ct, sk),
+                                      np.full(ea.nslots, s[i]))
+
+    class Stop2(ReplicateHandler):
+        def __init__(self):
+            self.got = {}
+
+        def handle(self, pos, ctxt):
+            self.got[pos] = ctxt
+
+        def early_stop(self):
+            return len(self.got) >= 2
+
+    h = Stop2()
+    replicate_all(ea, enc(ea, pk, rng, s), sk, handler=h)
+    assert len(h.got) == 2
+    for pos, ct in h.got.items():
+        np.testing.assert_array_equal(ea.decrypt_ints(ct, sk),
+                                      np.full(ea.nslots, s[pos]))
+
+
 def test_poly_eval(setup):
     ctx, sk, pk, ea, rng = setup
     pr = ctx.ptxt_space

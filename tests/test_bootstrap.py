@@ -142,6 +142,31 @@ def test_thin_recrypt(setup):
                                   (slots * slots) % ctx.ptxt_space)
 
 
+@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_BIG"),
+                    reason="m=31775 thin boot is very slow; HELIB_RUN_BIG=1")
+def test_thin_recrypt_big_bench_param():
+    """Thin bootstrap at m=31775 = 5^2*31*41 — the reference's SMALL
+    thinboot benchmark parameter (benchmarks/bgv_thinboot.cpp:104-145:
+    m=31775, p=2, bits=600, c=3, skHwt=64; mvec there {41,775}, here the
+    equivalent prime-power split)."""
+    from helib_tpu.recryption import RecryptData, thin_recrypt
+    from helib_tpu.evalmap import ThinEvalMapTree
+    ctx = Context(m=31775, p=2, r=1, bits=600, c=3, scheme="bgv",
+                  mvec=(31, 25, 41))
+    sk = SecKey(ctx, seed=141, hwt=64)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rc = RecryptData(ctx, sk, ea, hwt=64)
+    assert isinstance(rc.slot_to_coeff, ThinEvalMapTree)
+    rng = np.random.default_rng(143)
+    slots = rng.integers(0, ctx.ptxt_space, ea.nslots)
+    ct = ea.encrypt(list(slots), pk, rng)
+    ct.bring_to_k(3)
+    out = thin_recrypt(ct, rc, sk)
+    assert out.is_correct(), out.capacity()
+    np.testing.assert_array_equal(ea.decrypt_ints(out, sk), slots)
+
+
 @pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
                     reason="m=1271 thin boot is slow; HELIB_RUN_SLOW=1")
 def test_thin_recrypt_bench_param():
