@@ -63,6 +63,8 @@ def extract_digits(ctxt, sk, r: int | None = None) -> list:
 
     digits = [None] * r
     for i in range(r):
+        from ..recryption import _boot_trace
+        _boot_trace(f"extractDigits round {i}/{r} (k={ctxt.k})")
         tmp = ctxt.copy()
         for j in range(i):
             if p == 2:

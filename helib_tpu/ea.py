@@ -47,7 +47,7 @@ class EncryptedArray:
         # gate on (m, p, d) only so every EA view of one context (including
         # the recryption r_override view) picks the same G mod p
         import os
-        self._fast = ((ctx.phi_m > 2500 or os.environ.get("HELIB_FAST_EA"))
+        self._fast = ((ctx.phi_m > 1000 or os.environ.get("HELIB_FAST_EA"))
                       and 1 <= d <= 64)
         if self._fast:
             self._build_tables_fast()

@@ -230,9 +230,12 @@ class ThinEvalMapTree:
         return W
 
     def apply(self, ctxt, sk):
+        from .recryption import _boot_trace
         ea = self.ea
         cur = ctxt
-        for st in self.stages:
+        for si, st in enumerate(self.stages):
+            _boot_trace(f"evalmap stage {si}/{len(self.stages)} "
+                        f"({st[0]}, k={cur.k})")
             if st[0] == "const":
                 c = np.zeros(ea.d, dtype=np.int64)
                 cc = np.asarray(st[1], dtype=np.int64)

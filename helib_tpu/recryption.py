@@ -23,6 +23,9 @@ intended for bootstrapping should use a sparse (hwt) secret key.
 from __future__ import annotations
 
 import math
+import os
+import sys
+import time
 
 import numpy as np
 
@@ -356,6 +359,14 @@ def make_divisible(zz: np.ndarray, p2e_prime: int, q: int) -> np.ndarray:
     return z + v * q
 
 
+def _boot_trace(msg: str):
+    """Phase progress for long bootstraps (reference AAA_* phase timers,
+    recryption.cpp:417-536), enabled by HELIB_VERBOSE_BOOT=1."""
+    if os.environ.get("HELIB_VERBOSE_BOOT"):
+        print(f"[boot {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+
 def thin_recrypt(ctxt: Ctxt, rc: RecryptData, sk: SecKey) -> Ctxt:
     """Reference PubKey::thinReCrypt (recryption.cpp:940)."""
     ctx = rc.ctx
@@ -375,7 +386,9 @@ def thin_recrypt(ctxt: Ctxt, rc: RecryptData, sk: SecKey) -> Ctxt:
 
     # slots -> coefficients, then switch onto the sparse recryption key
     # (reference thinReCrypt: reLinearize(recryptKeyID), recryption.cpp:990+)
+    _boot_trace("slotToCoeff")
     ct = rc.slot_to_coeff.apply(ct, sk)
+    _boot_trace("relinearize -> recrypt key")
     ct.relinearize(sk, to_key=rc.recrypt_key)
     ct.drop_special_primes()
     ct.bring_to_k(min(ct.k, 3))
@@ -383,6 +396,7 @@ def thin_recrypt(ctxt: Ctxt, rc: RecryptData, sk: SecKey) -> Ctxt:
     # raw mod switch to q = p^e + 1; for composite m, round / make
     # divisible / divide per POWERFUL coordinate, then return to the
     # coefficient representation (reference recryption.cpp:475-520)
+    _boot_trace("rawModSwitch")
     zz = raw_mod_switch(ct, q, rc.pwb)
     p2ep = p**ePrime
     zz = [make_divisible(z, p2ep, q) for z in zz]
@@ -391,15 +405,19 @@ def thin_recrypt(ctxt: Ctxt, rc: RecryptData, sk: SecKey) -> Ctxt:
         zz = [rc.pwb.w_powerful_to_poly(z) for z in zz]
 
     # re-encrypt: ekey * zz1 + zz0
+    _boot_trace("re-encrypt with ekey")
     out = rc.ekey.copy()
     out.mul_constant_poly(zz[1], mag=ctx.noise_uniform(math.log2(max(q, 2))))
     out.add_constant_poly(zz[0])
 
     # coefficients -> slots
+    _boot_trace("coeffToSlot")
     out = rc.coeff_to_slot.apply(out, sk)
 
     # digit extraction
+    _boot_trace("extractDigitsThin")
     out = extract_digits_thin(out, e - ePrime, r, ePrime, sk)
+    _boot_trace("done")
     if intF != 1:
         out.intFactor = out.intFactor * intF % out.ptxt_space
     return out
