@@ -12,15 +12,11 @@ commutes with Galois automorphisms: digits(sigma_k(c)) = sigma_k(digits(c)).
 
 from __future__ import annotations
 
-import math
-
-import numpy as np
-
-from ..context import log2_add, NEG_INF
+from ..context import log2_add
 from ..keys import SKHandle
 from ..ctxt import Ctxt
-from ..dcrt import rt_break_into_digits, rt_add_special_and_scale, rt_mul, \
-    rt_add, rt_automorph
+from ..dcrt import (rt_break_into_digits, rt_add_special_and_scale,
+                    rt_add, rt_automorph)
 
 
 class AutomorphPrecon:
@@ -35,9 +31,13 @@ class AutomorphPrecon:
         self.c0 = parts[0]
         self.digits, self.digit_noise = rt_break_into_digits(
             ctx, parts[1], ctxt.k)
+        import jax.numpy as jnp
+        self._stacked_digits = jnp.stack(self.digits)   # [nd, R, N]
 
     def automorph(self, kexp: int) -> Ctxt:
         """One rotation at ~MAC cost (reference automorph(), matmul.cpp:120)."""
+        from ..ctxt import ks_stacked_W
+        from ..ops.modops import mul_mod, add_mod
         base = self.base
         ctx = base.ctx
         k = base.k
@@ -45,19 +45,22 @@ class AutomorphPrecon:
         if kexp == 1:
             return base.copy()
         W = self.sk.gen_ks_matrix(SKHandle(1, kexp, 0))
-        q, _ = ctx.dev_q(k, True)
-        rows = np.array(ctx.rows_of(k, True))
+        q, mu = ctx.dev_q(k, True)
+        rows = ctx.rows_of(k, True)
         acc0 = rt_add_special_and_scale(ctx, rt_automorph(ctx, self.c0, kexp),
                                         k)
-        acc1 = None
-        ks_noise = NEG_INF
-        for j, Rj in enumerate(self.digits):
-            Rj_k = rt_automorph(ctx, Rj, kexp)
-            bj = W.b[j][rows, :]
-            aj = W.a[j][rows, :]
-            acc0 = rt_add(ctx, acc0, rt_mul(ctx, Rj_k, bj, k, True), k, True)
-            t1 = rt_mul(ctx, Rj_k, aj, k, True)
-            acc1 = t1 if acc1 is None else rt_add(ctx, acc1, t1, k, True)
+        # one gather permutes ALL digits, then two stacked MAC kernels
+        Dk = rt_automorph(ctx, self._stacked_digits, kexp)
+        nd = len(self.digits)
+        Wb, Wa = ks_stacked_W(W, (k, True), rows)
+        pb = mul_mod(Dk, Wb[:nd], q, mu)
+        pa = mul_mod(Dk, Wa[:nd], q, mu)
+        sb, sa = pb[0], pa[0]
+        for j in range(1, nd):
+            sb = add_mod(sb, pb[j], q)
+            sa = add_mod(sa, pa[j], q)
+        acc0 = rt_add(ctx, acc0, sb, k, True)
+        acc1 = sa
         noise = log2_add(base.noise + ctx.log2_special(),
                          self.digit_noise + W.noise)
         out = Ctxt(ctx, base.pubkey,

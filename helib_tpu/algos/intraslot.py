@@ -31,6 +31,6 @@ def repack(ea, ctxts: list, sk=None):
         yj = np.zeros(ea.d, dtype=np.int64)
         yj[j] = 1
         t = ct.copy()
-        t.mul_constant_poly(ea.encode([yj] * ea.nslots))
+        t.mul_constant_fat(ea.const_fat(yj))
         acc = t if acc is None else acc.add(t)
     return acc

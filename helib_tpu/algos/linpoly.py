@@ -85,7 +85,7 @@ def apply_linearized(ea, ctxt, coeffs: list, sk):
         if not np.any(ci):
             continue
         t = frob.copy()
-        t.mul_constant_poly(ea.encode([ci] * ea.nslots))
+        t.mul_constant_fat(ea.const_fat(ci))
         acc = t if acc is None else acc.add(t)
     if acc is None:
         acc = ctxt.copy()

@@ -35,6 +35,23 @@ class MatMul1D:
         self.dim = dim
         self.get = get          # get(i, j) scalar mod p^r
         self.D = ea.ctx.pal.orders[dim]
+        # (i, rotated_by) -> FatEncodedPtxt | None: device-resident encoded
+        # diagonals, built on first use, shared across applications
+        # (reference ConstMultiplierCache + upgrade(), matmul.h:251-264)
+        self._fat_cache: dict = {}
+
+    def _fat_diag(self, i: int, rotated_by: int = 0):
+        """Cached device-resident encoded diagonal (None if all-zero)."""
+        key = (i, rotated_by)
+        if key not in self._fat_cache:
+            from ..encoded import FatEncodedPtxt
+            sl = self._diag_slots(i, rotated_by)
+            if not sl.any():
+                self._fat_cache[key] = None
+            else:
+                self._fat_cache[key] = FatEncodedPtxt(
+                    self.ea.ctx, self.ea.encode(list(sl)), space=self.ea.pr)
+        return self._fat_cache[key]
 
     # -- diagonal encoding -------------------------------------------------
     def _diag_slots(self, i: int, rotated_by: int = 0) -> np.ndarray:
@@ -76,11 +93,11 @@ class MatMul1D:
             for i in range(D):
                 if i > 0:
                     rotated = ea.rotate_1d(ctxt.copy(), self.dim, i, sk)
-                sl = self._diag_slots(i)
-                if not sl.any():
+                fat = self._fat_diag(i)
+                if fat is None:
                     continue
                 t = rotated.copy()
-                t.mul_constant_poly(ea.encode(list(sl)))
+                t.mul_constant_fat(fat)
                 acc = t if acc is None else acc.add(t)
             return acc if acc is not None else _zero_like(ctxt)
         # BSGS; baby steps share one digit decomposition (hoisting,
@@ -106,11 +123,11 @@ class MatMul1D:
                 i = g * j + l
                 if i >= D:
                     break
-                sl = self._diag_slots(i, rotated_by=g * j)
-                if not sl.any():
+                fat = self._fat_diag(i, rotated_by=g * j)
+                if fat is None:
                     continue
                 t = baby[l].copy()
-                t.mul_constant_poly(ea.encode(list(sl)))
+                t.mul_constant_fat(fat)
                 inner = t if inner is None else inner.add(t)
             if inner is None:
                 continue
@@ -135,6 +152,21 @@ class BlockMatMul1D:
         self.dim = dim
         self.get = get
         self.D = ea.ctx.pal.orders[dim]
+        self._fat_cache: dict = {}
+
+    def _fat_lin_coeffs(self, i: int):
+        """Cached device-resident linearized-poly constants for rotation i."""
+        if i not in self._fat_cache:
+            from ..encoded import FatEncodedPtxt
+            encs = self._lin_coeffs_for(i)
+            if encs is None:
+                self._fat_cache[i] = None
+            else:
+                self._fat_cache[i] = [
+                    (FatEncodedPtxt(self.ea.ctx, e, space=self.ea.pr)
+                     if e is not None and np.any(e) else None)
+                    for e in encs]
+        return self._fat_cache[i]
 
     def _lin_coeffs_for(self, i: int):
         """Per-slot linearized-poly coefficient vectors for rotation i:
@@ -174,7 +206,7 @@ class BlockMatMul1D:
         ea = self.ea
         acc = None
         for i in range(self.D):
-            encs = self._lin_coeffs_for(i)
+            encs = self._fat_lin_coeffs(i)
             if encs is None:
                 continue
             rot = ea.rotate_1d(ctxt.copy(), self.dim, i, sk) if i else ctxt
@@ -182,10 +214,10 @@ class BlockMatMul1D:
             for f, enc in enumerate(encs):
                 if f > 0:
                     frob = frob.copy().frobenius(1, sk)
-                if enc is None or not np.any(enc):
+                if enc is None:
                     continue
                 t = frob.copy()
-                t.mul_constant_poly(enc)
+                t.mul_constant_fat(enc)
                 acc = t if acc is None else acc.add(t)
         return acc if acc is not None else _zero_like(ctxt)
 
@@ -197,24 +229,103 @@ class MatMulFull:
     def __init__(self, ea, get):
         self.ea = ea
         self.get = get          # get(s_out, s_in) mod p^r
+        self._fat_cache: dict = {}
+
+    def _fat_diag(self, i: int):
+        if i not in self._fat_cache:
+            from ..encoded import FatEncodedPtxt
+            ea, n = self.ea, self.ea.nslots
+            sl = np.array([int(self.get(s, (s - i) % n)) % ea.pr
+                           for s in range(n)], dtype=np.int64)
+            self._fat_cache[i] = (
+                FatEncodedPtxt(ea.ctx, ea.encode(list(sl)), space=ea.pr)
+                if sl.any() else None)
+        return self._fat_cache[i]
 
     def apply(self, ctxt, sk):
         ea = self.ea
-        pal = ea.ctx.pal
         n = ea.nslots
         # direct (dense) implementation over the linear slot index using
         # global rotations; i-th diagonal constant at out-slot s is
         # M[s][(s-i) mod n]
         acc = None
         for i in range(n):
-            sl = np.array([int(self.get(s, (s - i) % n)) % ea.pr
-                           for s in range(n)], dtype=np.int64)
-            if not sl.any():
+            fat = self._fat_diag(i)
+            if fat is None:
                 continue
             rot = ea.rotate(ctxt.copy(), i, sk) if i else ctxt
             t = rot.copy()
-            t.mul_constant_poly(ea.encode(list(sl)))
+            t.mul_constant_fat(fat)
             acc = t if acc is None else acc.add(t)
+        return acc if acc is not None else _zero_like(ctxt)
+
+
+class BlockMatMulFull:
+    """n x n matrix of d x d blocks over ALL slots (reference
+    BlockMatMulFull/BlockMatMulFullExec, matmul.h:186-247): get(s_out, s_in)
+    returns the d x d integer matrix (the Fp-linear map applied to the slot
+    value moving from s_in to s_out).  Applied as global-rotation diagonals,
+    each followed by a per-slot linearized polynomial sum_f c_f sigma^{p^f}.
+    """
+
+    def __init__(self, ea, get):
+        self.ea = ea
+        self.get = get
+        self._fat_cache: dict = {}
+
+    def _fat_lin_coeffs(self, i: int):
+        if i not in self._fat_cache:
+            from .linpoly import lin_poly_coeffs
+            from ..encoded import FatEncodedPtxt
+            ea = self.ea
+            n, d = ea.nslots, ea.d
+            per_slot: list = []
+            any_nz = False
+            for s in range(n):
+                M = np.asarray(self.get(s, (s - i) % n),
+                               dtype=np.int64) % ea.pr
+                if not M.any():
+                    per_slot.append(None)
+                    continue
+                any_nz = True
+                per_slot.append(lin_poly_coeffs(
+                    ea, [M[:, k2] for k2 in range(d)]))
+            if not any_nz:
+                self._fat_cache[i] = None
+            else:
+                out = []
+                for f in range(d):
+                    slots, nz = [], False
+                    for s in range(n):
+                        if per_slot[s] is None:
+                            slots.append(np.zeros(d, dtype=np.int64))
+                        else:
+                            c = np.asarray(per_slot[s][f], dtype=np.int64)
+                            slots.append(c)
+                            nz = nz or bool(c.any())
+                    out.append(FatEncodedPtxt(ea.ctx,
+                                              ea.encode(slots), space=ea.pr)
+                               if nz else None)
+                self._fat_cache[i] = out
+        return self._fat_cache[i]
+
+    def apply(self, ctxt, sk):
+        ea = self.ea
+        acc = None
+        for i in range(ea.nslots):
+            encs = self._fat_lin_coeffs(i)
+            if encs is None:
+                continue
+            rot = ea.rotate(ctxt.copy(), i, sk) if i else ctxt
+            frob = rot
+            for f, enc in enumerate(encs):
+                if f > 0:
+                    frob = frob.copy().frobenius(1, sk)
+                if enc is None:
+                    continue
+                t = frob.copy()
+                t.mul_constant_fat(enc)
+                acc = t if acc is None else acc.add(t)
         return acc if acc is not None else _zero_like(ctxt)
 
 

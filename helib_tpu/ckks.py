@@ -159,7 +159,15 @@ class EncryptedArrayCKKS:
             h.update(np.asarray(d).tobytes())
         prg = np.random.default_rng(
             np.frombuffer(h.digest(), dtype=np.uint64))
-        noise = np.round(prg.normal(0.0, sigma, self.N)).astype(np.int64)
+        g = prg.normal(0.0, 1.0, self.N)
+        mant, ex = math.frexp(sigma)
+        if ex > 52:
+            # sigma exceeds int64: exact object-int scaling (52-bit Gaussian
+            # mantissa is far beyond the needed statistical precision)
+            scaled = np.round(g * mant * (1 << 52)).astype(np.int64)
+            noise = scaled.astype(object) * (1 << (ex - 52))
+        else:
+            noise = np.round(g * sigma).astype(np.int64)
         vals = vals + noise
         return self.decode(vals, Fraction(ctxt.ratFactor))
 

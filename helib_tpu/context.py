@@ -243,22 +243,39 @@ class Context:
             rows += list(range(self.L, self.L + self.S))
         return tuple(rows)
 
+    def _ntt_impl(self, x, rows: tuple, inverse: bool):
+        t = self.ntt_tree(rows)
+        if self.pal.pow2:
+            from .ops.ntt import ntt_pow2_fwd, ntt_pow2_inv
+            return (ntt_pow2_inv(x, t["inv"]) if inverse
+                    else ntt_pow2_fwd(x, t["fwd"]))
+        from .ops.ntt import bluestein_apply
+        tab = self.ntt_inv if inverse else self.ntt_fwd
+        return bluestein_apply(x, t["inv" if inverse else "fwd"],
+                               self.m, tab.B)
+
+    def _ntt_call(self, x, rows: tuple, inverse: bool):
+        """Dispatch one jit-compiled program per (rows, shape) instead of
+        the ~25 eager primitives of a staged/Bluestein transform — eager
+        per-op dispatch dominates wall time on the hot paths otherwise.
+        Falls through to the eager composition inside an outer trace."""
+        import jax
+        import jax.core
+        if isinstance(x, jax.core.Tracer):
+            return self._ntt_impl(x, rows, inverse)
+        key = ("nttjit", rows, inverse, jnp.shape(x))
+        fn = self._dev_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda v: self._ntt_impl(v, rows, inverse))
+            self._dev_cache[key] = fn
+        return fn(x)
+
     def fwd_ntt(self, coeffs, rows: tuple):
         """coeffs [..., P, N] residues (natural order) -> eval domain."""
-        t = self.ntt_tree(rows)
-        if self.pal.pow2:
-            from .ops.ntt import ntt_pow2_fwd
-            return ntt_pow2_fwd(coeffs, t["fwd"])
-        from .ops.ntt import bluestein_apply
-        return bluestein_apply(coeffs, t["fwd"], self.m, self.ntt_fwd.B)
+        return self._ntt_call(coeffs, rows, inverse=False)
 
     def inv_ntt(self, evals, rows: tuple):
-        t = self.ntt_tree(rows)
-        if self.pal.pow2:
-            from .ops.ntt import ntt_pow2_inv
-            return ntt_pow2_inv(evals, t["inv"])
-        from .ops.ntt import bluestein_apply
-        return bluestein_apply(evals, t["inv"], self.m, self.ntt_inv.B)
+        return self._ntt_call(evals, rows, inverse=True)
 
     def __repr__(self):
         return (f"Context(scheme={self.scheme}, m={self.m}, p={self.p}, "

@@ -29,6 +29,40 @@ SAFETY_BITS = 1.0   # reference `safety` margin (log 2) in interval selection
 SLACK_BITS = 4.0
 
 
+def ks_stacked_W(W, rows_key: tuple, rows):
+    """KS matrix columns restricted to the live rows and stacked over the
+    digit axis, cached per prime set on the matrix object."""
+    cache = getattr(W, "_stacked", None)
+    if cache is None:
+        cache = W._stacked = {}
+    ent = cache.get(rows_key)
+    if ent is None:
+        idx = jnp.asarray(np.array(rows))
+        ent = (jnp.stack([b[idx] for b in W.b]),
+               jnp.stack([a[idx] for a in W.a]))
+        cache[rows_key] = ent
+    return ent
+
+
+def ks_digit_mac(ctx, digits, W, k: int):
+    """sum_j digit_j * (b_j, a_j) as TWO stacked modular multiplies + a fold
+    (the KS MAC hot loop, reference Ctxt.cpp:191-230, batched over digits
+    for one big kernel instead of per-digit dispatches)."""
+    from .ops.modops import mul_mod, add_mod
+    nd = len(digits)
+    rows = ctx.rows_of(k, True)
+    Wb, Wa = ks_stacked_W(W, (k, True), rows)
+    q, mu = ctx.dev_q(k, True)
+    D = jnp.stack(digits)                      # [nd, R, N]
+    pb = mul_mod(D, Wb[:nd], q, mu)
+    pa = mul_mod(D, Wa[:nd], q, mu)
+    sb, sa = pb[0], pa[0]
+    for j in range(1, nd):
+        sb = add_mod(sb, pb[j], q)
+        sa = add_mod(sa, pa[j], q)
+    return sb, sa
+
+
 def frac_log2(f) -> float:
     """log2 of a positive Fraction/int without float overflow."""
     from fractions import Fraction
@@ -227,6 +261,43 @@ class Ctxt:
         bound = mag if mag is not None else ctx.noise_mod(pr)
         self.noise += bound
 
+    def mul_constant_fat(self, fat, mag: float | None = None):
+        """Multiply by a device-resident encoded constant (reference
+        Ctxt::multByConstant(FatEncodedPtxt), Ctxt.cpp:1832+): no host encode
+        or NTT on the hot path — the eval tensor is sliced from the fat
+        constant's cached full-row transform (encoded.FatEncodedPtxt)."""
+        ctx = self.ctx
+        pt = fat.rt(self.k, self.special)
+        self.parts = [(h, rt_mul(ctx, d, pt, self.k, self.special))
+                      for h, d in self.parts]
+        space = fat.space if fat.space is not None else self.ptxt_space
+        self.noise += mag if mag is not None else ctx.noise_mod(space)
+
+    def add_constant_fat(self, fat, factor_fixed: bool = False):
+        """Add a device-resident encoded constant (BGV).  The Q·intFactor
+        correction of add_constant_poly depends on the live prime set, so it
+        is applied as a cheap scalar multiply of the sliced constant."""
+        ctx, pr = self.ctx, self.ptxt_space
+        pt = fat.rt(self.k, self.special)
+        if not factor_fixed:
+            Q = 1
+            for q in ctx.primes_of(self.k, self.special):
+                Q *= int(q)
+            f = (Q % pr) * self.intFactor % pr
+            f = f - pr if f > pr // 2 else f
+            if f != 1:
+                # scalar multiply in eval domain: no rebalance mod p^r, so
+                # charge the |f| growth to the noise (f == 1 for p = 2)
+                pt = rt_mul_scalar(ctx, pt, f % pr, self.k, self.special)
+        else:
+            f = 1
+        i = self._find_part(SKHandle(0, 1, 0))
+        self.parts[i] = (self.parts[i][0],
+                         rt_add(ctx, self.parts[i][1], pt, self.k,
+                                self.special))
+        self.noise = log2_add(self.noise,
+                              ctx.noise_mod(pr) + math.log2(max(abs(f), 1)))
+
     # -------------------------------------------------------- multiplication
     def tensor(self, other: "Ctxt"):
         """Tensor product (reference Ctxt::tensorProduct, Ctxt.cpp:1563)."""
@@ -320,12 +391,9 @@ class Ctxt:
                 g = math.gcd(W.ptxt_space, self.ptxt_space)
                 self.ptxt_space = g
             digits, digit_noise = rt_break_into_digits(ctx, d, k)
-            rows = np.array(ctx.rows_of(k, True))
-            for j, Rj in enumerate(digits):
-                bj = W.b[j][rows, :]
-                aj = W.a[j][rows, :]
-                add_acc(SKHandle(0, 1, 0), rt_mul(ctx, Rj, bj, k, True))
-                add_acc(SKHandle(1, 1, to_key), rt_mul(ctx, Rj, aj, k, True))
+            sb, sa = ks_digit_mac(ctx, digits, W, k)
+            add_acc(SKHandle(0, 1, 0), sb)
+            add_acc(SKHandle(1, 1, to_key), sa)
             ks_noise = log2_add(ks_noise, digit_noise + W.noise)
         self.parts = [(h, d) for h, d in acc.items()]
         self.k, self.special = k, True
@@ -389,13 +457,28 @@ class Ctxt:
     def trace_map(self, sk: SecKey):
         """Trace over the slot extension: sum_{i<d} sigma_{p^i} — leaves a
         CONSTANT in every slot (reference Ctxt traceMap, used by
-        ThinEvalMap::apply, EvalMap.cpp:658)."""
+        ThinEvalMap::apply, EvalMap.cpp:658).
+
+        For d > 3 the d-1 Frobenius maps share ONE key-switch digit
+        decomposition (hoisting, reference BasicAutomorphPrecon), so the
+        cost is one decomposition + (d-1) MAC sets instead of (d-1) full
+        relinearizations."""
         d = self.ctx.pal.d
-        acc = self
-        frob = self
-        for _ in range(1, d):
-            frob = frob.copy().frobenius(1, sk)
-            acc = acc.copy().add(frob)
+        p, m = self.ctx.p, self.ctx.m
+        if d > 3:
+            from .algos.hoisting import AutomorphPrecon
+            precon = AutomorphPrecon(self, sk)
+            acc = None
+            for i in range(1, d):
+                t = precon.automorph(pow(p, i, m))
+                acc = t if acc is None else acc.add(t)
+            acc = acc.add(precon.base)
+        else:
+            acc = self
+            frob = self
+            for _ in range(1, d):
+                frob = frob.copy().frobenius(1, sk)
+                acc = acc.copy().add(frob)
         if acc is not self:
             self.parts = acc.parts
             self.k, self.special = acc.k, acc.special

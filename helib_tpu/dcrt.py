@@ -307,8 +307,36 @@ def _drop_consts(ctx_id, drop_rows: tuple, target_rows: tuple, ptxt_space: int):
             for k2, v in out.items()}
 
 
+_JIT_CACHE: dict = {}
+
+
+def _jit_call(key, builder, *args):
+    """Dispatch a cached jit-compiled program for a pure tensor op keyed by
+    its static configuration; falls back to eager composition when already
+    inside a trace (hot compound ops otherwise pay per-primitive dispatch)."""
+    import jax
+    import jax.core
+    if any(isinstance(a, jax.core.Tracer) for a in args):
+        return builder()(*args)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = jax.jit(builder())
+    return fn(*args)
+
+
 def rt_scale_down(ctx: Context, data, k: int, special: bool,
                   new_k: int, new_special: bool, ptxt_space: int):
+    """Jit-cached wrapper of the scaled mod-down (see _rt_scale_down_impl)."""
+    key = ("scale_down", _ctx_id(ctx), k, special, new_k, new_special,
+           ptxt_space, jnp.shape(data))
+    return _jit_call(key,
+                     lambda: (lambda v: _rt_scale_down_impl(
+                         ctx, v, k, special, new_k, new_special, ptxt_space)),
+                     data)
+
+
+def _rt_scale_down_impl(ctx: Context, data, k: int, special: bool,
+                        new_k: int, new_special: bool, ptxt_space: int):
     """Scaled mod-down (reference Ctxt::modDownToSet real-switching branch,
     Ctxt.cpp:465-516, in pure RNS).
 
@@ -439,6 +467,22 @@ def _digit_consts(ctx_id, k: int):
 
 
 def rt_break_into_digits(ctx: Context, data, k: int):
+    """Jit-cached wrapper of the digit decomposition (see
+    _rt_break_into_digits_impl); the noise bound is a pure function of the
+    static constants and is computed host-side either way."""
+    from .context import log2_sum
+    consts = _digit_consts(_ctx_id(ctx), k)
+    noise = log2_sum([ctx.noise_uniform(cst["log2_D"] - 1.0)
+                      for cst in consts])
+    key = ("digits", _ctx_id(ctx), k, jnp.shape(data))
+    digits = _jit_call(key,
+                       lambda: (lambda v: tuple(
+                           _rt_break_into_digits_impl(ctx, v, k)[0])),
+                       data)
+    return list(digits), noise
+
+
+def _rt_break_into_digits_impl(ctx: Context, data, k: int):
     """Mixed-radix digit decomposition (reference DoubleCRT::breakIntoDigits,
     DoubleCRT.cpp:479): data [k, N] on ctxt prefix (no specials) ->
     (digits, log2 noise) where digits is a list of [k+S, N] eval tensors

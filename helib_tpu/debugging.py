@@ -96,6 +96,10 @@ class PtSim:
                        [int(c) % pr for c in coeffs], pr)
         self._set(pm.pmod(prod, self._phim, pr))
 
+    def mul_constant_fat(self, fat, mag=None):
+        # device-resident constants carry their balanced coefficients
+        self.mul_constant_poly(fat.coeffs, mag)
+
     def add(self, other):
         return PtSim((self.poly + other.poly) % self.ea.pr, self.ea)
 

@@ -252,6 +252,32 @@ class EncryptedArray:
         self._mask_cache[key] = out
         return out
 
+    def const_fat(self, vec):
+        """Device-resident encoding of the SAME slot value in every slot
+        (cached by value) — the recurring constants of linearized-poly and
+        trace-style maps."""
+        v = np.atleast_1d(np.asarray(vec, dtype=np.int64)) % self.pr
+        key = ("cfat", v.tobytes())
+        cached = self._mask_cache.get(key)
+        if cached is None:
+            from .encoded import FatEncodedPtxt
+            cached = FatEncodedPtxt(self.ctx, self.encode([v] * self.nslots),
+                                    space=self.pr)
+            self._mask_cache[key] = cached
+        return cached
+
+    def mask_fat(self, dim: int, lo: int, hi: int):
+        """Device-resident cached mask (reference maskTable constants held as
+        DoubleCRT after upgrade())."""
+        key = ("fat", dim, lo, hi)
+        cached = self._mask_cache.get(key)
+        if cached is None:
+            from .encoded import FatEncodedPtxt
+            cached = FatEncodedPtxt(self.ctx, self.mask_poly(dim, lo, hi),
+                                    space=self.pr)
+            self._mask_cache[key] = cached
+        return cached
+
     def rotate_1d(self, ctxt, dim: int, amt: int, sk: SecKey):
         """Cyclic rotation along hypercube dim (reference rotate1D,
         EncryptedArray.cpp:67-125).  Content at coord e moves to e+amt."""
@@ -270,10 +296,8 @@ class EncryptedArray:
         k2 = k1 * pow(g, D, m) % m
         c1 = ctxt.copy().smart_automorph(k1, sk)
         c2 = ctxt.copy().smart_automorph(k2, sk)
-        mask_hi = self.mask_poly(dim, amt, D)   # slots with coord >= amt
-        mask_lo = self.mask_poly(dim, 0, amt)
-        c1.mul_constant_poly(mask_hi)
-        c2.mul_constant_poly(mask_lo)
+        c1.mul_constant_fat(self.mask_fat(dim, amt, D))  # coord >= amt
+        c2.mul_constant_fat(self.mask_fat(dim, 0, amt))
         return c1.add(c2)
 
     def shift_1d(self, ctxt, dim: int, amt: int, sk: SecKey):
@@ -284,11 +308,9 @@ class EncryptedArray:
             return ctxt
         out = ctxt.copy()
         if amt > 0:
-            mask = self.mask_poly(dim, 0, D - amt)
-            out.mul_constant_poly(mask)
+            out.mul_constant_fat(self.mask_fat(dim, 0, D - amt))
             return self.rotate_1d(out, dim, amt, sk)
-        mask = self.mask_poly(dim, -amt, D)
-        out.mul_constant_poly(mask)
+        out.mul_constant_fat(self.mask_fat(dim, -amt, D))
         return self.rotate_1d(out, dim, amt % D, sk)
 
     def rotate(self, ctxt, amt: int, sk: SecKey):
@@ -323,20 +345,16 @@ class EncryptedArray:
             r_noc = self.rotate_1d(c_noc.copy(), dim, a, sk)
             r_car = (self.rotate_1d(c_car.copy(), dim, a + 1, sk)
                      if c_car is not None else None)
-            lo_n = self.mask_poly(dim, 0, a)
-            hi_n = self.mask_poly(dim, a, orders[dim])
             nc = r_noc.copy()
-            nc.mul_constant_poly(hi_n)
+            nc.mul_constant_fat(self.mask_fat(dim, a, orders[dim]))
             cc = r_noc.copy()
-            cc.mul_constant_poly(lo_n)
+            cc.mul_constant_fat(self.mask_fat(dim, 0, a))
             if r_car is not None:
-                lo_c = self.mask_poly(dim, 0, a + 1)
-                hi_c = self.mask_poly(dim, a + 1, orders[dim])
                 t = r_car.copy()
-                t.mul_constant_poly(hi_c)
+                t.mul_constant_fat(self.mask_fat(dim, a + 1, orders[dim]))
                 nc = nc.add(t)
                 t2 = r_car.copy()
-                t2.mul_constant_poly(lo_c)
+                t2.mul_constant_fat(self.mask_fat(dim, 0, a + 1))
                 cc = cc.add(t2)
             c_noc, c_car = nc, cc
         out = self.rotate_1d(c_noc, 0, digits[0], sk)

@@ -197,6 +197,23 @@ class ThinEvalMapTree:
             else:
                 self.stages.append(("const", W[0][0]))
 
+        # stage executors are built ONCE so their device-resident constant
+        # caches persist across applications (reference EvalMap holds its
+        # MatMul1DExec objects with upgraded caches, EvalMap.h:54-104)
+        self._execs = []
+        for st in self.stages:
+            if st[0] == "matmul":
+                _, dim, M = st
+                self._execs.append(MatMul1D(ea, dim,
+                                            lambda i, j, M=M: M[i][j]))
+            else:
+                from .encoded import FatEncodedPtxt
+                c = np.zeros(ea.d, dtype=np.int64)
+                cc = np.asarray(st[1], dtype=np.int64)
+                c[:len(cc)] = cc
+                self._execs.append(FatEncodedPtxt(
+                    ea.ctx, ea.encode([c] * ea.nslots), space=ea.pr))
+
     @staticmethod
     def _last_factor_extractor(pts, G, p, r, d):
         """W (sz x sz over E) with Tr(sum_k W[J][k] * s_k) = a_{J*d} for any
@@ -233,19 +250,14 @@ class ThinEvalMapTree:
         from .recryption import _boot_trace
         ea = self.ea
         cur = ctxt
-        for si, st in enumerate(self.stages):
+        for si, (st, ex) in enumerate(zip(self.stages, self._execs)):
             _boot_trace(f"evalmap stage {si}/{len(self.stages)} "
-                        f"({st[0]}, k={cur.k})")
+                        f"({st[0]}, k={getattr(cur, 'k', '-')})")
             if st[0] == "const":
-                c = np.zeros(ea.d, dtype=np.int64)
-                cc = np.asarray(st[1], dtype=np.int64)
-                c[:len(cc)] = cc
                 cur = cur.copy()
-                cur.mul_constant_poly(ea.encode([c] * ea.nslots))
+                cur.mul_constant_fat(ex)
             else:
-                _, dim, M = st
-                mm = MatMul1D(ea, dim, lambda i, j, M=M: M[i][j])
-                cur = mm.apply(cur, sk)
+                cur = ex.apply(cur, sk)
         if self.invert:
             cur = cur.copy().trace_map(sk)
         return cur

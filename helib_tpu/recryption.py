@@ -122,11 +122,13 @@ class LinearMapR:
                     col = reduce_mod_phim(shifted, ctx, pr)
                     A[j * phi:(j + 1) * phi, ki * phi + t] = _padv(col, phi)
         sol = _solve_mod(A, b, ea.p, ea.r)
+        from .encoded import FatEncodedPtxt
         self.terms = []
         for ki, k in enumerate(units_k):
             ck = sol[ki * phi:(ki + 1) * phi] % pr
             if np.any(ck):
-                self.terms.append((k, ck.astype(np.int64)))
+                self.terms.append((k, FatEncodedPtxt(ctx, ck.astype(np.int64),
+                                                     space=pr)))
 
     def apply(self, ctxt: Ctxt, sk: SecKey) -> Ctxt:
         """Hoisted application: one digit decomposition shared by all the
@@ -141,7 +143,7 @@ class LinearMapR:
                 t = precon.automorph(k)
             else:
                 t = ctxt.copy().smart_automorph(k, sk)
-            t.mul_constant_poly(ck)
+            t.mul_constant_fat(ck)
             acc = t if acc is None else acc.add(t)
         if acc is None:
             acc = ctxt.copy()
@@ -506,7 +508,7 @@ def fat_recrypt(ctxt: Ctxt, rc: FatRecryptData, sk: SecKey) -> Ctxt:
         yi = np.zeros(ea.d, dtype=np.int64)
         yi[i] = 1
         t = ci.copy()
-        t.mul_constant_poly(ea.encode([yi] * ea.nslots))
+        t.mul_constant_fat(ea.const_fat(yi))
         acc = t if acc is None else acc.add(t)
 
     # packed slots -> coefficients (restores the original ring element)

@@ -173,6 +173,26 @@ def test_matmul_full(setup):
     np.testing.assert_array_equal(got, (M @ s) % pr)
 
 
+def test_block_matmul_full(setup):
+    """BlockMatMulFull: n x n matrix of d x d blocks over ALL slots
+    (reference BlockMatMulFull, matmul.h:186-247)."""
+    from helib_tpu.algos.matmul import BlockMatMulFull
+    ctx, sk, pk, ea, rng = setup
+    pr, d, n = ctx.ptxt_space, ea.d, ea.nslots
+    blocks = rng.integers(0, pr, (n, n, d, d))
+    bm = BlockMatMulFull(ea, lambda i, j: blocks[i, j])
+    slots = [rng.integers(0, pr, d) for _ in range(n)]
+    ct = ea.encrypt(slots, pk, rng)
+    out = bm.apply(ct, sk)
+    assert out.is_correct(), out.capacity()
+    got = ea.decrypt(out, sk)
+    for s in range(n):
+        expect = np.zeros(d, dtype=np.int64)
+        for j in range(n):
+            expect = (expect + blocks[s, j] @ np.asarray(slots[j])) % pr
+        np.testing.assert_array_equal(got[s] % pr, expect, err_msg=str(s))
+
+
 def test_map_to_01(setup):
     ctx, sk, pk, ea, rng = setup
     if ctx.r != 1:

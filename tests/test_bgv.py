@@ -122,6 +122,27 @@ def test_mul_constant(setup):
                                                         ctx.ptxt_space), ctx))
 
 
+def test_fat_constants(setup):
+    """FatEncodedPtxt (device-resident constant, reference EncodedPtxt.h:
+    200-355): mul/add via the cached full-row eval tensor must agree with
+    the per-use host encode path, including after a mod-down."""
+    from helib_tpu.encoded import EncodedPtxt, FatEncodedPtxt
+    ctx, sk, pk, rng = setup
+    p1, p2 = rand_ptxt(ctx, rng), rand_ptxt(ctx, rng)
+    ep = EncodedPtxt(p2, space=ctx.ptxt_space)
+    fat = ep.fat(ctx)
+    c1 = pk.encrypt_bgv(p1, rng)
+    c1.bring_to_k(max(2, ctx.L - 2))    # exercise row slicing at k < L
+    ca, cb = c1.copy(), c1.copy()
+    ca.mul_constant_poly(p2)
+    cb.mul_constant_fat(fat)
+    np.testing.assert_array_equal(sk.decrypt_bgv(ca), sk.decrypt_bgv(cb))
+    cc, cd = c1.copy(), c1.copy()
+    cc.add_constant_poly(p2)
+    cd.add_constant_fat(fat)
+    np.testing.assert_array_equal(sk.decrypt_bgv(cc), sk.decrypt_bgv(cd))
+
+
 def test_multiply_relin(setup):
     ctx, sk, pk, rng = setup
     p1, p2 = rand_ptxt(ctx, rng), rand_ptxt(ctx, rng)
