@@ -228,16 +228,32 @@ class ThinEvalMapTree:
             pows[k][0] = [1]
             for n in range(1, n_tot):
                 pows[k][n] = pm.pmulmod(pows[k][n - 1], pts[k], G, pr)
-        # system matrix Msys[n][(k, lam)] = Tr(Y^lam * pts_k^n)
-        Msys = np.zeros((n_tot, n_tot), dtype=np.int64)
+        # system matrix Msys[n][(k, lam)] = Tr(Y^lam * pts_k^n).  Trace is
+        # Z_{p^r}-linear, so with T[lam][j] = Tr(Y^{lam+j} mod G) it is one
+        # exact matmul against the power coefficients (vectorized — the
+        # naive per-entry trace loop is O(sz^2 d^4) Python ops and hours at
+        # the reference's m=31775 sizes).
+        T = np.zeros((d, d), dtype=np.int64)
+        yi = [1]
+        trs = []
+        for i in range(2 * d - 1):
+            tr = _trace(yi, G, p, r, d)
+            assert len(tr) <= 1, "trace is not a constant"
+            trs.append((int(tr[0]) if tr else 0) % pr)
+            yi = pm.pmulmod(yi, [0, 1], G, pr)
+        for lam in range(d):
+            T[lam] = trs[lam:lam + d]
+        # P[k, n, j] = coeff j of pts_k^n
+        Pw = np.zeros((sz, n_tot, d), dtype=np.int64)
         for k in range(sz):
-            for lam in range(d):
-                ylam = [0] * lam + [1]
-                for n in range(n_tot):
-                    prod = pm.pmulmod(ylam, pows[k][n], G, pr)
-                    tr = _trace(prod, G, p, r, d)
-                    assert len(tr) <= 1, "trace is not a constant"
-                    Msys[n, k * d + lam] = (int(tr[0]) if tr else 0) % pr
+            for n in range(n_tot):
+                v = pows[k][n]
+                Pw[k, n, :len(v)] = v
+        # exact mod-p^r matmul via 15-bit split (p^r < 2^30, d <= 64)
+        lo, hi = Pw & 0x7FFF, Pw >> 15
+        M3 = ((np.einsum('knj,lj->knl', hi, T) % pr << 15)
+              + np.einsum('knj,lj->knl', lo, T)) % pr     # [sz, n_tot, d]
+        Msys = M3.transpose(1, 0, 2).reshape(n_tot, n_tot)
         Minv = _inv_scalar_matrix(Msys, p, r)
         W = [[None] * sz for _ in range(sz)]
         for J in range(sz):
