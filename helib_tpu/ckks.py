@@ -207,3 +207,31 @@ class EncryptedArrayCKKS:
         if nk < ctxt.k:
             ctxt.mod_down_to(nk, False)
         return ctxt
+
+    def shift(self, ctxt: Ctxt, amt: int, sk: SecKey):
+        """Non-cyclic shift with zero fill (reference EncryptedArrayCx::
+        shift, EaCx.cpp:142-235): mask out the slots that would wrap, then
+        rotate."""
+        n = self.nslots
+        if amt == 0:
+            return ctxt
+        mask = np.zeros(n)
+        if amt > 0:
+            mask[: n - amt] = 1.0
+        else:
+            mask[-amt:] = 1.0
+        out = self.mul_const(ctxt, mask)
+        return self.rotate(out, amt % n, sk)
+
+    def extract_real_part(self, ctxt: Ctxt, sk: SecKey):
+        """Re(x) = (x + conj(x)) / 2 (reference extractRealPart,
+        EncryptedArray.h:1122); the division by 2 is free — it only scales
+        ratFactor."""
+        out = ctxt.copy().add(ctxt.copy().conjugate(sk))
+        out.ratFactor = Fraction(out.ratFactor) * 2
+        return out
+
+    def extract_imaginary_part(self, ctxt: Ctxt, sk: SecKey):
+        """Im(x) = (x - conj(x)) / (2i) (reference extractImPart)."""
+        diff = ctxt.copy().sub(ctxt.copy().conjugate(sk))   # 2i * Im(x)
+        return self.mul_const(diff, np.full(self.nslots, -0.5j))

@@ -54,7 +54,8 @@ def test_add(setup):
     z1, z2 = rand_slots(ea, rng), rand_slots(ea, rng)
     c1, c2 = ea.encrypt(z1, pk, rng), ea.encrypt(z2, pk, rng)
     c3 = c1.copy().add(c2)
-    assert dist(ea.decrypt(c3, sk), z1 + z2) < 1e-4
+    # two fresh errors + the Li-Micciancio release noise (~errorBound again)
+    assert dist(ea.decrypt(c3, sk), z1 + z2) < 5e-4
 
 
 def test_mul(setup):
@@ -103,6 +104,27 @@ def test_conjugate(setup):
     ct = ea.encrypt(z, pk, rng)
     ct.conjugate(sk)
     assert dist(ea.decrypt(ct, sk), np.conj(z)) < 1e-3
+
+
+def test_shift(setup):
+    ctx, sk, pk, ea, rng = setup
+    z = rand_slots(ea, rng)
+    ct = ea.encrypt(z, pk, rng)
+    out = ea.shift(ct, 1, sk)
+    exp = np.roll(z, 1)
+    exp[0] = 0
+    assert dist(ea.decrypt(out, sk), exp) < 1e-2
+
+
+def test_extract_real_imaginary(setup):
+    """extractRealPart / extractImPart (reference EncryptedArray.h:1122)."""
+    ctx, sk, pk, ea, rng = setup
+    z = rand_slots(ea, rng)
+    ct = ea.encrypt(z, pk, rng)
+    re = ea.extract_real_part(ct, sk)
+    im = ea.extract_imaginary_part(ct, sk)
+    assert dist(ea.decrypt(re, sk), np.real(z).astype(np.complex128)) < 1e-2
+    assert dist(ea.decrypt(im, sk), np.imag(z).astype(np.complex128)) < 1e-2
 
 
 def test_matmul_ckks():
