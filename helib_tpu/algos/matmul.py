@@ -176,15 +176,22 @@ class BlockMatMul1D:
         d = ea.d
         per_slot: list = []
         any_nz = False
+        # the block (hence the linearized-poly solve) depends only on the
+        # dim coordinate pair (e, j) — cache the solves so a D-slot dim
+        # costs D^2 solves, not nslots*D (matters for the fat EvalMap at
+        # reference sizes: nslots=1200 vs D=2 at m=31775)
+        solves: dict = {}
         for s in range(ea.nslots):
             e = pal.coords(s)[self.dim]
-            M = np.asarray(self.get(e, (e - i) % self.D), dtype=np.int64) % ea.pr
-            if not M.any():
-                per_slot.append(None)
-                continue
-            any_nz = True
-            images = [M[:, k2] for k2 in range(d)]   # image of basis Y^k
-            per_slot.append(lin_poly_coeffs(ea, images))
+            key = (e, (e - i) % self.D)
+            if key not in solves:
+                M = np.asarray(self.get(*key), dtype=np.int64) % ea.pr
+                solves[key] = (lin_poly_coeffs(ea, [M[:, k2]
+                                                    for k2 in range(d)])
+                               if M.any() else None)
+            sol = solves[key]
+            per_slot.append(sol)
+            any_nz = any_nz or sol is not None
         if not any_nz:
             return None
         out = []

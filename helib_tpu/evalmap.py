@@ -138,7 +138,18 @@ def _trace(x, G, p, r, d):
 # ---------------------------------------------------------------------------
 
 class ThinEvalMapTree:
-    def __init__(self, ea: EncryptedArray, invert: bool):
+    """Factor-tree eval map.  fat=False: the THIN map (slot constants <->
+    powerful coefficients, reference ThinEvalMap).  fat=True: the FULL map
+    (reference EvalMap, EvalMap.cpp:52-493): ALL phi(m) powerful coefficients
+    packed d-per-slot into the extension-ring slots — the prefix stages stay
+    E-linear MatMul1Ds, the last-factor stage becomes a BlockMatMul1D whose
+    d x d blocks are sub-blocks of the last-factor CRT evaluation matrix S
+    (forward) or S^{-1} (inverse); no trace step.
+
+    Packing convention (fat): slot with last-dim coordinate J holds
+    sum_{i<d} v[..., J*d+i] * Y^i where v are powerful coefficients."""
+
+    def __init__(self, ea: EncryptedArray, invert: bool, fat: bool = False):
         ctx = ea.ctx
         pal = ctx.pal
         assert pal.aligned is not None, "Context must be built with mvec"
@@ -146,6 +157,7 @@ class ThinEvalMapTree:
         mvec = list(pal.mvec)
         self.ea = ea
         self.invert = invert
+        self.fat = fat
         nf = len(mvec)
         d = pal.d
         p, r, pr = ea.p, ea.r, ea.pr
@@ -179,9 +191,23 @@ class ThinEvalMapTree:
                     M[e][J] = pm.pmulmod(M[e][J - 1], ndp[e], G, pr)
             return M
 
-        self.stages = []          # ("matmul", dim, M) or ("const", c)
+        # stage kinds: ("matmul", dim, M[E entries]) | ("const", c[E]) |
+        #              ("blockmatmul", dim, S[(D*d)x(D*d) over Z_{p^r}]) |
+        #              ("lin", B[d x d over Z_{p^r}])
+        self.stages = []
+        fat = fat and d > 1          # d == 1: fat == thin (trace is trivial)
+        self._fat_stages = fat
         if not invert:
-            for t in range(nf):
+            if fat:
+                # the block stage is Z_{p^r}-linear but NOT E-linear: it must
+                # see the unmixed packed inputs, so it runs BEFORE the
+                # E-linear prefix stages (inverse direction: after them)
+                S = self._last_factor_system(nodes(nf - 1), G, p, r, d)
+                if Dvec[nf - 1] > 1:
+                    self.stages.append(("blockmatmul", fac_to_dim[nf - 1], S))
+                else:
+                    self.stages.append(("lin", S))
+            for t in range(nf - 1 if fat else nf):
                 if Dvec[t] > 1:
                     self.stages.append(
                         ("matmul", fac_to_dim[t], vand(t, self.steps[t])))
@@ -191,11 +217,20 @@ class ThinEvalMapTree:
                     self.stages.append(
                         ("matmul", fac_to_dim[t],
                          _e_mat_inv(vand(t, 1), G, p, r)))
-            W = self._last_factor_extractor(nodes(nf - 1), G, p, r, d)
-            if Dvec[nf - 1] > 1:
-                self.stages.append(("matmul", fac_to_dim[nf - 1], W))
+            if fat:
+                S = self._last_factor_system(nodes(nf - 1), G, p, r, d)
+                Sinv = _inv_scalar_matrix(S, p, r)
+                if Dvec[nf - 1] > 1:
+                    self.stages.append(
+                        ("blockmatmul", fac_to_dim[nf - 1], Sinv))
+                else:
+                    self.stages.append(("lin", Sinv))
             else:
-                self.stages.append(("const", W[0][0]))
+                W = self._last_factor_extractor(nodes(nf - 1), G, p, r, d)
+                if Dvec[nf - 1] > 1:
+                    self.stages.append(("matmul", fac_to_dim[nf - 1], W))
+                else:
+                    self.stages.append(("const", W[0][0]))
 
         # stage executors are built ONCE so their device-resident constant
         # caches persist across applications (reference EvalMap holds its
@@ -206,6 +241,18 @@ class ThinEvalMapTree:
                 _, dim, M = st
                 self._execs.append(MatMul1D(ea, dim,
                                             lambda i, j, M=M: M[i][j]))
+            elif st[0] == "blockmatmul":
+                from .algos.matmul import BlockMatMul1D
+                _, dim, S = st
+                self._execs.append(BlockMatMul1D(
+                    ea, dim,
+                    lambda i, j, S=S, d=d: S[i * d:(i + 1) * d,
+                                             j * d:(j + 1) * d]))
+            elif st[0] == "lin":
+                from .algos.linpoly import lin_poly_coeffs
+                B = np.asarray(st[1], dtype=np.int64)
+                self._execs.append(
+                    lin_poly_coeffs(ea, [B[:, k2] for k2 in range(d)]))
             else:
                 from .encoded import FatEncodedPtxt
                 c = np.zeros(ea.d, dtype=np.int64)
@@ -213,6 +260,27 @@ class ThinEvalMapTree:
                 c[:len(cc)] = cc
                 self._execs.append(FatEncodedPtxt(
                     ea.ctx, ea.encode([c] * ea.nslots), space=ea.pr))
+
+    @staticmethod
+    def _last_factor_system(pts, G, p, r, d):
+        """S[(k*d + c), n] = coeff_c(pts_k^n mod G) for n < sz*d: the
+        Z_{p^r}-linear CRT evaluation map from the last factor's powerful
+        coefficients a_n to the slot coefficient vectors
+        (Z_{p^r}[W]/Phi_{m_l} ~= prod_k E; reference EvalMap Step1/2 matrices,
+        EvalMap.cpp:120-250, in direct coefficient form).  Invertible mod p
+        since the pts_k are representatives of distinct Frobenius orbits."""
+        pr = p**r
+        sz = len(pts)
+        n_tot = sz * d
+        Pw = np.zeros((sz, n_tot, d), dtype=np.int64)
+        cur = [[1] for _ in range(sz)]
+        for n in range(n_tot):
+            for k in range(sz):
+                v = cur[k]
+                Pw[k, n, :len(v)] = v
+            if n + 1 < n_tot:
+                cur = [pm.pmulmod(cur[k], pts[k], G, pr) for k in range(sz)]
+        return Pw.transpose(0, 2, 1).reshape(n_tot, n_tot) % pr
 
     @staticmethod
     def _last_factor_extractor(pts, G, p, r, d):
@@ -272,8 +340,11 @@ class ThinEvalMapTree:
             if st[0] == "const":
                 cur = cur.copy()
                 cur.mul_constant_fat(ex)
+            elif st[0] == "lin":
+                from .algos.linpoly import apply_linearized
+                cur = apply_linearized(ea, cur, ex, sk)
             else:
                 cur = ex.apply(cur, sk)
-        if self.invert:
+        if self.invert and not self._fat_stages:
             cur = cur.copy().trace_map(sk)
         return cur

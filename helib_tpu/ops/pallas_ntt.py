@@ -48,17 +48,21 @@ def fine_layout(seg: np.ndarray, n: int) -> np.ndarray:
 
 
 def _mulhi32(a, b):
-    """High 32 bits of u32*u32 via 16-bit halves (wrapping u32 ops)."""
-    m16 = jnp.uint32(0xFFFF)
-    a0 = a & m16
-    a1 = a >> jnp.uint32(16)
-    b0 = b & m16
-    b1 = b >> jnp.uint32(16)
+    """High 32 bits of u32*u32 via 16-bit halves (wrapping u32 ops).
+
+    Plain Python ints (weak-typed literals) on purpose: `jnp.uint32(...)`
+    scalars are concrete jax.Arrays that the kernel trace can capture as
+    closure constants, which pallas_call rejects ("captures constants ...
+    pass them as inputs") in some nesting contexts."""
+    a0 = a & 0xFFFF
+    a1 = a >> 16
+    b0 = b & 0xFFFF
+    b1 = b >> 16
     lo = a0 * b0
     m1 = a1 * b0
     m2 = a0 * b1
-    carry = ((lo >> jnp.uint32(16)) + (m1 & m16) + (m2 & m16)) >> jnp.uint32(16)
-    return a1 * b1 + (m1 >> jnp.uint32(16)) + (m2 >> jnp.uint32(16)) + carry
+    carry = ((lo >> 16) + (m1 & 0xFFFF) + (m2 & 0xFFFF)) >> 16
+    return a1 * b1 + (m1 >> 16) + (m2 >> 16) + carry
 
 
 def _shoup_mul(a, w, wsh, q):

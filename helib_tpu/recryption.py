@@ -201,17 +201,43 @@ class RecryptData:
                                      + ctx.r)
         self.pwb = None
         if ctx.pal.aligned is not None:
+            # rawModSwitch rounds in the powerful basis for composite m
+            # (reference PowerfulDCRT role)
+            from .powerful import PowerfulBasis
+            self.pwb = PowerfulBasis(ctx.m, list(ctx.pal.mvec))
+        self._build_maps()
+        big_space = ctx.p ** (self.e - self.ePrime + ctx.r)
+        assert big_space < (1 << 30)
+        self.big_space = big_space
+        # all KS matrices must carry the large space (reference keys.cpp:1218)
+        ctx.boot_ptxt_space = big_space
+        sk.matrices.clear()
+        if sk.pubkey is None:
+            PubKey(sk)
+        # separate SPARSE recryption key s' appended to the key list
+        # (reference SecKey::genRecryptData, keys.cpp:1678): the ciphertext
+        # is key-switched onto s' before rawModSwitch so the hwt bound used
+        # by setAE applies regardless of the main key's density, and ekey is
+        # an encryption of s' under the main key with the big space.
+        self.recrypt_key = sk.gen_key(hwt)
+        self.ekey = _encrypt_with_space(
+            sk, sk.skeys[self.recrypt_key]["coeffs"], big_space)
+
+    def _build_maps(self):
+        """Thin linear maps: factor-tree (scalable) when the Context has a
+        factor-aligned mvec, dense sigma-span otherwise."""
+        ctx, ea = self.ctx, self.ea
+        pr = ea.pr
+        phi = ctx.phi_m
+        n = ea.nslots
+        if ctx.pal.aligned is not None:
             # scalable factor-tree maps (reference ThinEvalMap route)
             from .evalmap import ThinEvalMapTree
-            from .powerful import PowerfulBasis
             self.slot_to_coeff = ThinEvalMapTree(ea, invert=False)
             # coeffToSlot applies AFTER re-encryption at the big plaintext
             # space p^{e-e'+r} (role of the recryption alMod,
             # recryption.h:44)
             self.coeff_to_slot = ThinEvalMapTree(self.ea_big, invert=True)
-            # rawModSwitch rounds in the powerful basis for composite m
-            # (reference PowerfulDCRT role)
-            self.pwb = PowerfulBasis(ctx.m, list(ctx.pal.mvec))
         else:
             # dense sigma-span maps (small m fallback)
             # slotToCoeff: x -> sum_t slot_const_t(x) * X^t
@@ -232,22 +258,6 @@ class RecryptData:
                 unit[:len(u)] = u
                 img2[t] = unit
             self.coeff_to_slot = LinearMapR(self.ea_big, img2)
-        big_space = ctx.p ** (self.e - self.ePrime + ctx.r)
-        assert big_space < (1 << 30)
-        self.big_space = big_space
-        # all KS matrices must carry the large space (reference keys.cpp:1218)
-        ctx.boot_ptxt_space = big_space
-        sk.matrices.clear()
-        if sk.pubkey is None:
-            PubKey(sk)
-        # separate SPARSE recryption key s' appended to the key list
-        # (reference SecKey::genRecryptData, keys.cpp:1678): the ciphertext
-        # is key-switched onto s' before rawModSwitch so the hwt bound used
-        # by setAE applies regardless of the main key's density, and ekey is
-        # an encryption of s' under the main key with the big space.
-        self.recrypt_key = sk.gen_key(hwt)
-        self.ekey = _encrypt_with_space(
-            sk, sk.skeys[self.recrypt_key]["coeffs"], big_space)
 
     def __repr__(self):
         return (f"RecryptData(e={self.e}, ePrime={self.ePrime}, q={self.q}, "
@@ -431,33 +441,42 @@ class FatRecryptData(RecryptData):
     extension-field slots, secondMap is its inverse, and digit extraction
     runs on intraSlot-unpacked parts."""
 
-    def __init__(self, ctx: Context, sk: SecKey, ea: EncryptedArray,
-                 hwt: int = 16):
-        super().__init__(ctx, sk, ea, hwt)
+    def _build_maps(self):
+        ctx, ea = self.ctx, self.ea
         phi, d, n = ctx.phi_m, ea.d, ea.nslots
         assert n * d == phi
-        # firstMap (mod big space): X^{t*d+i} -> slot-t unit carrying Y^i
-        img_first: dict[int, np.ndarray] = {}
-        for t in range(n):
-            for i in range(d):
-                slots = [0] * n
-                vec = np.zeros(d, dtype=np.int64)
-                vec[i] = 1
-                slots[t] = vec
-                img_first[t * d + i] = self.ea_big.encode(slots)
-        self.first_map = LinearMapR(self.ea_big, img_first)
-        # secondMap (mod p^r): slots (packed coeffs) -> coefficient vector
-        img_second: dict[int, np.ndarray] = {}
-        for j in range(phi):
-            dec = ea.decode(_onehot_poly(phi, j))
-            out = np.zeros(phi, dtype=np.int64)
+        if ctx.pal.aligned is not None:
+            # scalable fat factor-tree maps (reference EvalMap route):
+            # firstMap = inverse tree over the big space (powerful coeffs ->
+            # packed slots), secondMap = forward tree mod p^r
+            from .evalmap import ThinEvalMapTree
+            self.first_map = ThinEvalMapTree(self.ea_big, invert=True,
+                                             fat=True)
+            self.second_map = ThinEvalMapTree(ea, invert=False, fat=True)
+        else:
+            # dense sigma-span fallback (small m):
+            # firstMap (mod big space): X^{t*d+i} -> slot-t unit carrying Y^i
+            img_first: dict[int, np.ndarray] = {}
             for t in range(n):
                 for i in range(d):
-                    out[t * d + i] = int(dec[t][i]) % ea.pr
-            # L2(X^j) = sum_{t,i} coeff-of-Y^i-in-slot-t(X^j) * X^{t*d+i}
-            if np.any(out):
-                img_second[j] = out
-        self.second_map = LinearMapR(ea, img_second)
+                    slots = [0] * n
+                    vec = np.zeros(d, dtype=np.int64)
+                    vec[i] = 1
+                    slots[t] = vec
+                    img_first[t * d + i] = self.ea_big.encode(slots)
+            self.first_map = LinearMapR(self.ea_big, img_first)
+            # secondMap (mod p^r): slots (packed coeffs) -> coeff vector
+            img_second: dict[int, np.ndarray] = {}
+            for j in range(phi):
+                dec = ea.decode(_onehot_poly(phi, j))
+                out = np.zeros(phi, dtype=np.int64)
+                for t in range(n):
+                    for i in range(d):
+                        out[t * d + i] = int(dec[t][i]) % ea.pr
+                # L2(X^j) = sum_{t,i} coeff-of-Y^i-in-slot-t(X^j) * X^{t*d+i}
+                if np.any(out):
+                    img_second[j] = out
+            self.second_map = LinearMapR(ea, img_second)
         # intraSlot unpack encodings over the big space
         from .algos.linpoly import projection_maps
         self.unpack_maps = projection_maps(self.ea_big)
@@ -484,10 +503,14 @@ def fat_recrypt(ctxt: Ctxt, rc: FatRecryptData, sk: SecKey) -> Ctxt:
     ct.drop_special_primes()
     ct.bring_to_k(min(ct.k, 3))
 
-    zz = raw_mod_switch(ct, q)
+    # for composite m (tree maps): round / make divisible per POWERFUL
+    # coordinate, matching the coordinates firstMap extracts
+    zz = raw_mod_switch(ct, q, rc.pwb)
     p2ep = p**ePrime
     zz = [make_divisible(z, p2ep, q) for z in zz]
     zz = [z // p2ep for z in zz]
+    if rc.pwb is not None:
+        zz = [rc.pwb.w_powerful_to_poly(z) for z in zz]
 
     out = rc.ekey.copy()
     out.mul_constant_poly(zz[1], mag=ctx.noise_uniform(math.log2(max(q, 2))))

@@ -106,6 +106,34 @@ def test_thin_recrypt_pr_space():
 
 
 @pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
+                    reason="tree-map fat boot is slow; HELIB_RUN_SLOW=1")
+def test_fat_recrypt_tree_maps():
+    """Fat bootstrap at m=255 with the scalable factor-tree EvalMap
+    (BlockMatMul1D last-factor stage + powerful-basis rounding) — the
+    reference EvalMap/reCrypt route for composite m."""
+    from helib_tpu.recryption import FatRecryptData, fat_recrypt
+    from helib_tpu.evalmap import ThinEvalMapTree
+    ctx = Context(m=255, p=2, r=1, bits=950, c=3, scheme="bgv",
+                  mvec=(3, 5, 17))
+    sk = SecKey(ctx, seed=131, hwt=24)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    frc = FatRecryptData(ctx, sk, ea, hwt=24)
+    assert isinstance(frc.first_map, ThinEvalMapTree)
+    assert frc.first_map._fat_stages
+    rng = np.random.default_rng(133)
+    slots = [rng.integers(0, ctx.ptxt_space, ea.d) for _ in range(ea.nslots)]
+    ct = pk.encrypt_bgv(ea.encode(slots), rng)
+    ct.bring_to_k(3)
+    out = fat_recrypt(ct, frc, sk)
+    assert out.is_correct(), out.capacity()
+    got = ea.decrypt(out, sk)
+    for sl in range(ea.nslots):
+        np.testing.assert_array_equal(np.asarray(got[sl]) % ea.pr,
+                                      np.asarray(slots[sl]) % ea.pr)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
                     reason="fat bootstrap e2e is slow; set HELIB_RUN_SLOW=1")
 def test_fat_recrypt(setup):
     """Reference GTestFatboot: bootstrap with FULLY PACKED slots."""
