@@ -222,7 +222,11 @@ def batched_divmod(A: np.ndarray, F: np.ndarray, q: int):
         c = work[i + d]
         Q[i] = c
         work[i:i + d] = (work[i:i + d] - c[None, :] * FlT) % q
-    return np.ascontiguousarray(Q.T), np.ascontiguousarray(work[:d].T) % q
+    R = np.ascontiguousarray(work[:d].T) % q
+    if R.shape[1] < d:  # n < d: remainder is A itself, padded to degree d-1
+        R = np.concatenate(
+            [R, np.zeros((rows, d - R.shape[1]), dtype=np.int64)], axis=1)
+    return np.ascontiguousarray(Q.T), R
 
 
 def batched_divmod_same(a: np.ndarray, f: np.ndarray, q: int):
@@ -231,7 +235,75 @@ def batched_divmod_same(a: np.ndarray, f: np.ndarray, q: int):
     rows = f.shape[0]
     A = np.broadcast_to(np.asarray(a, dtype=np.int64) % q,
                         (rows, len(a))).copy()
+    d = f.shape[1] - 1
+    if A.shape[1] > 8 * max(d, 1) and d > 1:
+        return batched_divmod_fold(A, f, q)
     return batched_divmod(A, f, q)
+
+
+def _fold_matrices(F: np.ndarray, q: int):
+    """Per-row matrices for d-step folding mod monic F [rows, d+1]:
+    MB[:, :, j] = Y^{d+j} mod F  (reduction),
+    QM[:, :, j] = quotient of Y^{d+j} by F (degree <= j < d).
+    Both follow the recursion Y^{d+j} = Y * Y^{d+j-1}:
+      M_j = (Y*M_{j-1} mod F),  G_j = Y*G_{j-1} + topcoeff(M_{j-1})."""
+    F = np.asarray(F, dtype=np.int64) % q
+    rows, dp1 = F.shape
+    d = dp1 - 1
+    MB = np.zeros((rows, d, d), dtype=np.int64)
+    QM = np.zeros((rows, d, d), dtype=np.int64)
+    negF = (-F[:, :d]) % q
+    cur = negF.copy()            # Y^d mod F
+    g = np.zeros((rows, d), dtype=np.int64)
+    g[:, 0] = 1                  # quotient of Y^d by F is 1
+    for j in range(d):
+        MB[:, :, j] = cur
+        QM[:, :, j] = g
+        if j < d - 1:
+            top = cur[:, d - 1].copy()
+            nxt = np.zeros_like(cur)
+            nxt[:, 1:] = cur[:, :d - 1]
+            cur = (nxt + top[:, None] * negF) % q
+            gn = np.zeros_like(g)
+            gn[:, 1:] = g[:, :d - 1]
+            gn[:, 0] = top
+            g = gn % q
+    return MB, QM
+
+
+def _bmv(M: np.ndarray, v: np.ndarray, q: int) -> np.ndarray:
+    """Exact batched [rows,d,d] @ [rows,d] mod q via 15-bit split."""
+    hi = np.einsum('rij,rj->ri', M >> 15, v) % q
+    lo = np.einsum('rij,rj->ri', M & 0x7FFF, v)
+    return ((hi << 15) + lo) % q
+
+
+def batched_divmod_fold(A: np.ndarray, F: np.ndarray, q: int):
+    """Blocked synthetic division (quotient AND remainder): the block-Horner
+    fold of batched_rem_long, additionally emitting the quotient block
+    QM @ acc at every step — O(n/d) batched matvecs instead of the O(n)
+    per-coefficient loop (the construction hot spot of the slot CRT tables
+    at reference sizes, e.g. phi(m)=24000, 1200 slots)."""
+    A = np.asarray(A, dtype=np.int64) % q
+    F = np.asarray(F, dtype=np.int64) % q
+    rows, n = A.shape
+    d = F.shape[1] - 1
+    nq = n - d
+    if nq <= 0:
+        R = np.zeros((rows, d), dtype=np.int64)
+        R[:, :n] = A
+        return np.zeros((rows, 0), dtype=np.int64), R
+    MB, QM = _fold_matrices(F, q)
+    nb = (n + d - 1) // d
+    pad = nb * d - n
+    a_p = np.concatenate([A, np.zeros((rows, pad), dtype=np.int64)], axis=1)
+    blks = a_p.reshape(rows, nb, d)
+    acc = blks[:, nb - 1].copy()
+    Q = np.zeros((rows, nb - 1, d), dtype=np.int64)
+    for i in range(nb - 2, -1, -1):
+        Q[:, i] = _bmv(QM, acc, q)
+        acc = (_bmv(MB, acc, q) + blks[:, i]) % q
+    return Q.reshape(rows, (nb - 1) * d)[:, :nq], acc
 
 
 def batched_rem_long(a: np.ndarray, F: np.ndarray, q: int) -> np.ndarray:

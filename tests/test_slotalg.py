@@ -80,3 +80,22 @@ def test_fast_ea_encrypted_rotate(fast_env):
     out = ea.rotate(ct, 3, sk)
     np.testing.assert_array_equal(ea.decrypt_ints(out, sk),
                                   np.roll(slots, 3))
+
+
+@pytest.mark.parametrize("rows,n,d,q", [(5, 97, 4, 2**30 - 35),
+                                        (3, 40, 7, 8191),
+                                        (2, 6, 7, 257),    # n < d: pure pad
+                                        (4, 64, 8, 2**30 - 35)])
+def test_batched_divmod_fold_matches_schoolbook(rows, n, d, q):
+    """Blocked synthetic division (quotient+remainder) agrees with the
+    per-coefficient batched_divmod on random monic divisors."""
+    from helib_tpu.nt.slotalg import (batched_divmod, batched_divmod_fold)
+    rng = np.random.default_rng(123)
+    A = rng.integers(0, q, (rows, n)).astype(np.int64)
+    F = rng.integers(0, q, (rows, d + 1)).astype(np.int64)
+    F[:, d] = 1  # monic
+    Qf, Rf = batched_divmod_fold(A, F, q)
+    Qs, Rs = batched_divmod(A.copy(), F, q)
+    np.testing.assert_array_equal(Rf % q, Rs % q)
+    if Qf.shape[1]:
+        np.testing.assert_array_equal(Qf % q, Qs % q)
