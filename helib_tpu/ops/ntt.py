@@ -128,30 +128,36 @@ class Pow2NTT:
         # full power tables per prime: [P, ordr]
         pw = np.stack([power_table(r, int(q), ordr)
                        for r, q in zip(self.roots, qs)])
-        tw, tw_sh, itw, itw_sh = [], [], [], []
+        # Build ALL tables host-side in numpy first, then ship to device in
+        # one pass: mixing jnp/np here costs a device round trip PER TABLE
+        # (~2s each over a remote-TPU tunnel; was ~190s of Context setup).
+        np_tw, np_tw_sh, np_itw, np_itw_sh = [], [], [], []
         for exps in stage_exps:
             e = np.array(exps, dtype=np.int64) % ordr
             wt = pw[:, e]
             iwt = pw[:, (-e) % ordr]
-            tw.append(jnp.asarray(wt))
-            tw_sh.append(jnp.asarray(shoup(wt, qs[:, None])))
-            itw.append(jnp.asarray(iwt))
-            itw_sh.append(jnp.asarray(shoup(iwt, qs[:, None])))
-        self.tw, self.tw_sh, self.itw, self.itw_sh = tw, tw_sh, itw, itw_sh
-        self.np_tw = [np.asarray(a, dtype=np.uint64) for a in tw]
+            np_tw.append(wt.astype(np.uint32))
+            np_tw_sh.append(shoup(wt, qs[:, None]))
+            np_itw.append(iwt.astype(np.uint32))
+            np_itw_sh.append(shoup(iwt, qs[:, None]))
+        self.tw = [jnp.asarray(a) for a in np_tw]
+        self.tw_sh = [jnp.asarray(a) for a in np_tw_sh]
+        self.itw = [jnp.asarray(a) for a in np_itw]
+        self.itw_sh = [jnp.asarray(a) for a in np_itw_sh]
+        self.np_tw = [a.astype(np.uint64) for a in np_tw]
         ninv = np.array([inv_mod(n, int(q)) for q in qs], dtype=np.uint32)[:, None]
+        ninv_sh = shoup(ninv, qs[:, None])
         self.ninv = jnp.asarray(ninv)
-        self.ninv_sh = jnp.asarray(shoup(ninv, qs[:, None]))
+        self.ninv_sh = jnp.asarray(ninv_sh)
         self.q_d = jnp.asarray(qs.astype(np.uint32)[:, None])
         # concatenated "br-layout" tables for the fused Pallas kernel:
         # stage s occupies entries [2^s, 2^(s+1)); entry 0 = n^{-1} (inverse)
-        cat = np.concatenate([np.zeros((len(qs), 1), np.uint32)]
-                             + [np.asarray(a) for a in tw], axis=1)
-        icat = np.concatenate([ninv] + [np.asarray(a) for a in itw], axis=1)
+        cat = np.concatenate([np.zeros((len(qs), 1), np.uint32)] + np_tw,
+                             axis=1)
+        icat = np.concatenate([ninv] + np_itw, axis=1)
         cat_sh = np.concatenate([np.zeros((len(qs), 1), np.uint32)]
-                                + [np.asarray(a) for a in tw_sh], axis=1)
-        icat_sh = np.concatenate([np.asarray(self.ninv_sh)]
-                                 + [np.asarray(a) for a in itw_sh], axis=1)
+                                + np_tw_sh, axis=1)
+        icat_sh = np.concatenate([ninv_sh] + np_itw_sh, axis=1)
         self.tw_cat = jnp.asarray(cat)
         self.tw_cat_sh = jnp.asarray(cat_sh)
         self.itw_cat = jnp.asarray(icat)
@@ -167,10 +173,10 @@ class Pow2NTT:
             ifine_sh = np.zeros_like(cat)
             for s in range(max(coarse, 0), stages):
                 m = 1 << s
-                fine[:, m:2 * m] = fine_layout(np.asarray(tw[s]), n)
-                fine_sh[:, m:2 * m] = fine_layout(np.asarray(tw_sh[s]), n)
-                ifine[:, m:2 * m] = fine_layout(np.asarray(itw[s]), n)
-                ifine_sh[:, m:2 * m] = fine_layout(np.asarray(itw_sh[s]), n)
+                fine[:, m:2 * m] = fine_layout(np_tw[s], n)
+                fine_sh[:, m:2 * m] = fine_layout(np_tw_sh[s], n)
+                ifine[:, m:2 * m] = fine_layout(np_itw[s], n)
+                ifine_sh[:, m:2 * m] = fine_layout(np_itw_sh[s], n)
             self.tw_fine = jnp.asarray(fine)
             self.tw_fine_sh = jnp.asarray(fine_sh)
             self.itw_fine = jnp.asarray(ifine)
