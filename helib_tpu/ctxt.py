@@ -15,6 +15,7 @@ import math
 from dataclasses import dataclass, field
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .context import Context, log2_add, log2_sum, NEG_INF
@@ -37,9 +38,12 @@ def ks_stacked_W(W, rows_key: tuple, rows):
         cache = W._stacked = {}
     ent = cache.get(rows_key)
     if ent is None:
-        idx = jnp.asarray(np.array(rows))
-        ent = (jnp.stack([b[idx] for b in W.b]),
-               jnp.stack([a[idx] for a in W.a]))
+        # Evaluate OUTSIDE any active trace: the result is cached, and a
+        # device value created while tracing would be a leaked tracer.
+        with jax.ensure_compile_time_eval():
+            idx = jnp.asarray(np.array(rows))
+            ent = (jnp.stack([b[idx] for b in W.b]),
+                   jnp.stack([a[idx] for a in W.a]))
         cache[rows_key] = ent
     return ent
 

@@ -303,8 +303,11 @@ def _drop_consts(ctx_id, drop_rows: tuple, target_rows: tuple, ptxt_space: int):
         prD = np.array([(pr * D) % int(tj) for tj in t], dtype=np.uint32)
         out["pr_D_mod_t"] = prD[:, None]
         out["pr_D_mod_t_sh"] = modops.shoup(prD, t)[:, None]
-    return {k2: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
-            for k2, v in out.items()}
+    # Convert OUTSIDE any active trace: these are lru_cached, and a device
+    # array created while tracing is a tracer that would poison later traces.
+    with jax.ensure_compile_time_eval():
+        return {k2: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                for k2, v in out.items()}
 
 
 _JIT_CACHE: dict = {}
@@ -449,20 +452,24 @@ def _digit_consts(ctx_id, k: int):
         Dfinv_mod_t = np.array(
             [pow(Df % int(tj), -1, int(tj)) if Df % int(tj) != 0 else 1
              for tj in t], dtype=np.uint32)
-        consts.append({
-            "rows": drows,
-            "log2_D": float(np.sum(np.log2(d.astype(np.float64)))),
-            "c": jnp.asarray(c_i[:, None]),
-            "c_sh": jnp.asarray(modops.shoup(c_i, d)[:, None]),
-            "d_q": jnp.asarray(d.astype(np.uint32)[:, None]),
-            "M": jnp.asarray(M),
-            "M_sh": jnp.asarray(modops.shoup(M, t[None, :])),
-            "D_mod_t": jnp.asarray(Dl_mod_t[:, None]),
-            "D_mod_t_sh": jnp.asarray(modops.shoup(Dl_mod_t, t)[:, None]),
-            "Dfinv_mod_t": jnp.asarray(Dfinv_mod_t[:, None]),
-            "Dfinv_mod_t_sh": jnp.asarray(modops.shoup(Dfinv_mod_t, t)[:, None]),
-            "inv_d": jnp.asarray((1.0 / d.astype(np.float64))[:, None]),
-        })
+        np_consts = {
+            "c": c_i[:, None],
+            "c_sh": modops.shoup(c_i, d)[:, None],
+            "d_q": d.astype(np.uint32)[:, None],
+            "M": M,
+            "M_sh": modops.shoup(M, t[None, :]),
+            "D_mod_t": Dl_mod_t[:, None],
+            "D_mod_t_sh": modops.shoup(Dl_mod_t, t)[:, None],
+            "Dfinv_mod_t": Dfinv_mod_t[:, None],
+            "Dfinv_mod_t_sh": modops.shoup(Dfinv_mod_t, t)[:, None],
+            "inv_d": (1.0 / d.astype(np.float64))[:, None],
+        }
+        # Convert OUTSIDE any active trace (lru_cached — see _drop_consts).
+        with jax.ensure_compile_time_eval():
+            entry = {k2: jnp.asarray(v) for k2, v in np_consts.items()}
+        entry["rows"] = drows
+        entry["log2_D"] = float(np.sum(np.log2(d.astype(np.float64))))
+        consts.append(entry)
     return consts
 
 

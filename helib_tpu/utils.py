@@ -70,3 +70,26 @@ def total_product(ctxts: list, sk):
             nxt.append(items[-1])
         items = nxt
     return items[0]
+
+
+def incremental_product(ctxts: list, sk):
+    """In-place prefix products: ctxts[i] <- prod(ctxts[0..i]) in log depth
+    (reference incrementalProduct, Ctxt.h:1488-1526)."""
+    n = len(ctxts)
+    i = 1
+    while i < n:
+        for j in range(n - 1, i - 1, -1):
+            ctxts[j] = ctxts[j].multiply(ctxts[j - i], sk)
+        i *= 2
+    return ctxts
+
+
+def multiply_by2(ctxt, other1, other2, sk):
+    """Triple product ctxt*other1*other2 with the multiplication order chosen
+    by capacity (reference Ctxt::multiplyBy2, Ctxt.cpp:1776): pair the two
+    highest-capacity operands first so the scarcest budget is spent in a
+    single final multiplication."""
+    ops = sorted([ctxt, other1, other2], key=lambda c: c.capacity())
+    # ops[0] has the least capacity: multiply the other two first.
+    hi = ops[1].multiply(ops[2], sk)
+    return ops[0].multiply(hi, sk)
