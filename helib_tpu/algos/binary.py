@@ -204,6 +204,153 @@ def left_shift(ea, a: list, amt: int, width: int):
     return (z + [x.copy() for x in a])[:width]
 
 
+def right_bitwise_shift(ea, a: list, amt: int, width: int | None = None):
+    """Shift toward the LSB end (divide by 2^amt), zero-fill at the MSB end.
+
+    Complement of leftBitwiseShift (reference binaryArith.h:91); the
+    reference exposes only the left direction, this rounds out the API.
+    """
+    width = width or len(a)
+    out = [a[i + amt].copy() for i in range(max(0, len(a) - amt))]
+    while len(out) < width:
+        out.append(_zero(ea, a[0]))
+    return out[:width]
+
+
+def bitwise_rotate(ea, a: list, rotamt: int):
+    """Rotate bit positions: out[i] = in[(i - rotamt) mod n], rotating
+    toward the MSB end like leftBitwiseShift (reference bitwiseRotate,
+    binaryArith.h:103, binaryArith.cpp:572)."""
+    n = len(a)
+    rotamt %= n
+    return [a[(i - rotamt) % n].copy() for i in range(n)]
+
+
+def concat_binary_nums(a: list, b: list):
+    """Concatenate: `a` occupies the low bit positions, `b` the high ones
+    (reference concatBinaryNums, binaryArith.cpp:535)."""
+    return [x.copy() for x in a] + [x.copy() for x in b]
+
+
+def split_binary_nums(a: list, left_size: int):
+    """Split into (low `left_size` bits, remaining high bits)
+    (reference splitBinaryNums, binaryArith.cpp:547)."""
+    return ([x.copy() for x in a[:left_size]],
+            [x.copy() for x in a[left_size:]])
+
+
+# ---------------------------------------------------------------------------
+# Compression adders: sum up to 15 same-significance bits into a short
+# counter (reference three4Two / seven4Three / fifteen4Four /
+# fifteenOrLess4Four, binaryArith.cpp:1080-1341).
+# ---------------------------------------------------------------------------
+
+def _three_for_two_bits(x, y, z, sk):
+    """(lsb, msb) of x+y+z for single bits; inputs may be None (= zero).
+    lsb = x^y^z, msb = majority = (x^y)·z ^ x·y (reference three4Two)."""
+    bits = [v for v in (x, y, z) if v is not None]
+    if not bits:
+        return None, None
+    if len(bits) == 1:
+        return bits[0].copy(), None
+    if len(bits) == 2:
+        return _xor(bits[0], bits[1]), _and(bits[0], bits[1], sk)
+    x, y, z = bits
+    xy = _xor(x, y)
+    return _xor(xy, z), _xor(_and(xy, z, sk), _and(x, y, sk))
+
+
+def seven_for_three(ea, bits: list, sk, size_limit: int = 3):
+    """Sum of up to 7 bits as a 3-bit counter [lsb..msb]
+    (reference seven4Three, binaryArith.cpp:1128-1178)."""
+    bits = list(bits) + [None] * (7 - len(bits))
+    b1, b2 = _three_for_two_bits(bits[0], bits[1], bits[2], sk)
+    b3, b4 = _three_for_two_bits(bits[3], bits[4], bits[5], sk)
+    c1, c2 = _three_for_two_bits(bits[6], b1, b3, sk)
+    out = [c1 if c1 is not None else _zero(ea, _first(bits))]
+    if size_limit < 2:
+        return out
+    c3, c4 = _three_for_two_bits(b2, b4, None, sk)
+    d1, _ = _three_for_two_bits(c2, c3, None, sk)
+    out.append(d1 if d1 is not None else _zero(ea, out[0]))
+    if size_limit < 3:
+        return out
+    # d2 = carry(c2,c3) ^ c4
+    d2, _ = (None, None)
+    if c2 is not None and c3 is not None:
+        d2 = _and(c2, c3, sk)
+    if c4 is not None:
+        d2 = c4.copy() if d2 is None else _xor(d2, c4)
+    out.append(d2 if d2 is not None else _zero(ea, out[0]))
+    return out
+
+
+def _first(bits):
+    for b in bits:
+        if b is not None:
+            return b
+    raise ValueError("all-None bit list")
+
+
+def fifteen_for_four(ea, bits: list, sk, size_limit: int = 4):
+    """Sum of up to 15 bits as a 4-bit counter [lsb..msb]
+    (reference fifteen4Four scheme, binaryArith.cpp:1180-1315)."""
+    z = lambda: _zero(ea, _first(bits))
+    bits = list(bits) + [None] * (15 - len(bits))
+    b = {}
+    for k in range(5):                      # b2k+2 b2k+1 = 3for2(in[3k..3k+2])
+        lo, hi = _three_for_two_bits(bits[3 * k], bits[3 * k + 1],
+                                     bits[3 * k + 2], sk)
+        b[2 * k + 1], b[2 * k + 2] = lo, hi
+    c1, c2 = _three_for_two_bits(b[1], b[3], b[5], sk)
+    c3, c4 = _three_for_two_bits(b[2], b[4], b[6], sk)
+    d1, d2 = _three_for_two_bits(b[7], b[9], c1, sk)
+    out = [d1 if d1 is not None else z()]
+    if size_limit < 2:
+        return out
+    d3, d4 = _three_for_two_bits(b[8], b[10], c2, sk)
+    e1, e2 = _three_for_two_bits(c3, d2, d3, sk)
+    out.append(e1 if e1 is not None else z())
+    if size_limit < 3:
+        return out
+    e3, e4 = _three_for_two_bits(c4, d4, None, sk)
+    f1, f2c = _three_for_two_bits(e2, e3, None, sk)
+    out.append(f1 if f1 is not None else z())
+    if size_limit < 4:
+        return out
+    # f2 = e4 ^ carry(e2,e3)
+    f2 = None
+    if e4 is not None:
+        f2 = e4.copy()
+    if f2c is not None:
+        f2 = f2c if f2 is None else _xor(f2, f2c)
+    out.append(f2 if f2 is not None else z())
+    return out
+
+
+def fifteen_or_less_4_four(ea, bits: list, sk, size_limit: int = 4):
+    """Sum up to 15 same-significance bits (entries may be None) into a
+    little-endian counter; returns (counter_bits, n_meaningful) like the
+    reference's return count (reference fifteenOrLess4Four,
+    binaryArith.cpp:1317-1341)."""
+    live = [b for b in bits if b is not None]
+    if len(bits) > 15:
+        raise ValueError("at most 15 input bits")
+    n = len(live)
+    if n == 0:
+        return [], 0
+    if n > 7:
+        return fifteen_for_four(ea, bits, sk, size_limit), 4
+    if n > 3:
+        out = seven_for_three(ea, live, sk, min(size_limit, 3))
+        return out, 3
+    lo, hi = _three_for_two_bits(*(live + [None] * (3 - n)), sk)
+    out = [lo]
+    if hi is not None and size_limit >= 2:
+        out.append(hi)
+    return out, len(out)
+
+
 def binary_cond(ea, cond, a: list, b: list, sk):
     """Bit-sliced mux: cond ? a : b (reference binaryCond,
     binaryArith.h:259)."""

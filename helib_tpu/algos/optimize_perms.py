@@ -550,3 +550,22 @@ class PermPrecomp:
             for layer in self._colperm_layers(edim, colperm, groups):
                 total += len(layer)
         return total
+
+    def needed_rotations(self) -> set[tuple[int, int]]:
+        """All (hypercube dim, rotate-1D amount) pairs the network will
+        issue in apply() — the input of addMatrices4Network (reference
+        PermNetwork::getLayer shift enumeration, keySwitching.cpp:667)."""
+        need: set[tuple[int, int]] = set()
+        occurrence: dict[int, int] = {}
+        for (edim, colperm) in self.stages:
+            occ = occurrence.get(edim, 0)
+            occurrence[edim] = occ + 1
+            dim, leaf = self.pip.expanded[edim]
+            n_dim = self.pip.orders[dim]
+            groups = leaf.groups1 if (leaf.mid or occ == 0) else leaf.groups2
+            for layer in self._colperm_layers(edim, colperm, groups):
+                for dsp in layer:
+                    amt = (leaf.e * dsp) % n_dim
+                    if amt:
+                        need.add((dim, amt))
+        return need

@@ -523,6 +523,13 @@ class Ctxt:
                       for h, d in self.parts]
         return self
 
+    def extract_bits(self, sk, n_bits: int = 0) -> list:
+        """Bit decomposition: returns ciphertexts encrypting the base-p
+        digits (bits when p=2) of the slot values (reference
+        Ctxt::extractBits, Ctxt.h:1225,1586 — an alias of extractDigits)."""
+        from .algos.extract import extract_digits
+        return extract_digits(self, sk, n_bits if n_bits > 0 else None)
+
     def reduce_ptxt_space(self, new_space: int):
         """Reduce plaintext space to gcd (reference reducePtxtSpace)."""
         g = math.gcd(self.ptxt_space, new_space)

@@ -486,6 +486,23 @@ def rt_break_into_digits(ctx: Context, data, k: int):
                        lambda: (lambda v: tuple(
                            _rt_break_into_digits_impl(ctx, v, k)[0])),
                        data)
+    from . import timing
+    if timing.fhe_stats:
+        # noise-model validation: measured canonical-embedding norm of each
+        # digit vs the bound charged to the noise estimate (reference
+        # HELIB_STATS_UPDATE("break-into-digits-ratio"), DoubleCRT.cpp:548)
+        from .norms import embedding_largest_coeff_log2
+        all_rows = ctx.rows_of(k, True)
+        for dj, cst in zip(digits, consts):
+            res = np.asarray(rt_to_coeff_residues(ctx, dj, k, True))
+            if res.ndim > 2:          # batched: measure the first element
+                res = res.reshape(-1, *res.shape[-2:])[0]
+            coeffs = crt_reconstruct(ctx, res, all_rows)
+            norm_log2 = embedding_largest_coeff_log2(coeffs, ctx.m,
+                                                     ctx.pal.pow2)
+            bound_log2 = ctx.noise_uniform(cst["log2_D"] - 1.0)
+            timing.stats_update("break-into-digits-ratio",
+                                2.0 ** (norm_log2 - bound_log2))
     return list(digits), noise
 
 

@@ -57,6 +57,68 @@ def add_frb_matrices(sk: SecKey):
         sk.gen_ks_matrix(SKHandle(1, pow(ctx.p, j, ctx.m), 0))
 
 
+def ks_giant_step_size(D: int) -> int:
+    """ceil(sqrt(D)) — giant-step size shared with the BSGS matmul routines
+    (reference KSGiantStepSize, keySwitching.cpp:297)."""
+    if D <= 0:
+        raise ValueError("step size must be positive")
+    g = math.isqrt(D)
+    return g if g * g >= D else g + 1
+
+
+KS_MIN_THRESHOLD = 8   # reference HELIB_KEYSWITCH_MIN_THRESH
+
+
+def add_some_frb_matrices(sk: SecKey, bound: int = KS_GIANT_STEP_THRESHOLD):
+    """BSGS subset of Frobenius matrices s(X^{p^j})->s(X) when ord(p) is
+    large (reference addSomeFrbMatrices, keySwitching.h:235,
+    keySwitching.cpp:599)."""
+    ctx = sk.ctx
+    d = ctx.pal.d
+    if bound >= d:
+        add_frb_matrices(sk)
+        return
+    g = ks_giant_step_size(d)
+    for j in list(range(1, g)) + list(range(g, d, g)):
+        sk.gen_ks_matrix(SKHandle(1, pow(ctx.p, j, ctx.m), 0))
+
+
+def add_bsgs_frb_matrices(sk: SecKey):
+    """Force the BSGS Frobenius set (reference addBSGSFrbMatrices)."""
+    add_some_frb_matrices(sk, 0)
+
+
+def add_minimal_frb_matrices(sk: SecKey):
+    """Cheapest Frobenius set: s(X^p) plus one giant step when ord(p) is
+    large; powers reached by hop chains (reference addMinimalFrbMatrices,
+    keySwitching.cpp:660)."""
+    ctx = sk.ctx
+    d = ctx.pal.d
+    if d <= 1:
+        return
+    sk.gen_ks_matrix(SKHandle(1, ctx.p % ctx.m, 0))
+    if d > KS_MIN_THRESHOLD:
+        g = ks_giant_step_size(d)
+        sk.gen_ks_matrix(SKHandle(1, pow(ctx.p, g, ctx.m), 0))
+
+
+def add_matrices_4_network(sk: SecKey, pp):
+    """Generate exactly the automorphism matrices a built permutation
+    network will use (reference addMatrices4Network, keySwitching.h:249,
+    keySwitching.cpp:667).  `pp` is an algos.optimize_perms.PermPrecomp."""
+    pal = sk.ctx.pal
+    m = sk.ctx.m
+    for dim, amt in sorted(pp.needed_rotations()):
+        dim, amt = int(dim), int(amt)
+        if amt % pal.orders[dim] == 0:
+            continue
+        g, D = int(pal.gens[dim]), int(pal.orders[dim])
+        amt %= D
+        sk.gen_ks_matrix(SKHandle(1, pow(g, amt, m), 0))
+        if not pal.native[dim]:
+            sk.gen_ks_matrix(SKHandle(1, pow(g, amt - D, m), 0))
+
+
 def add_all_matrices(sk: SecKey):
     """Every automorphism (reference addAllMatrices) — heavyweight."""
     m = sk.ctx.m

@@ -100,3 +100,69 @@ def test_cli_pipeline(tmp_path):
         f"out={out}")
     got = np.loadtxt(out, dtype=np.int64)
     np.testing.assert_array_equal(got[:6], [1, 0, 1, 1, 0, 1])
+
+
+def test_query_builder_cnf():
+    """Weighted-CNF compilation (reference QueryBuilder::build,
+    query.h:391-404, expandOr/tidy/buildWeights)."""
+    from helib_tpu.algos.query import (QueryBuilder, make_query, parse_query,
+                                       Not, And, Or, Col)
+    q = (make_query(0) | make_query(1)) & make_query(2)
+    qt = QueryBuilder(q).build(4)
+    # one OR clause {0,1} and one singleton clause {2}
+    assert len(qt.taus) == 2 and qt.contains_or
+    taus = sorted(tuple(t) for t in qt.taus)
+    assert taus == [(0, 0, 1, 0), (1, 1, 0, 0)]
+    assert qt.mus == [0, 0]
+
+    # NOT pushes through: !(0 AND 1) == (!0 OR !1)
+    qt2 = QueryBuilder(~(make_query(0) & make_query(1))).build(2)
+    assert len(qt2.taus) == 1
+    assert tuple(qt2.taus[0]) == (-1, -1) and qt2.mus == [2]
+
+    # tautology clause (0 OR !0) is dropped
+    qt3 = QueryBuilder((make_query(0) | ~make_query(0))
+                       & make_query(1)).build(2)
+    assert len(qt3.taus) == 1 and tuple(qt3.taus[0]) == (0, 1)
+
+    # infix string parsing (reference convertToPostFix)
+    e = parse_query("0 AND (1 OR NOT 2)")
+    assert isinstance(e, And) and isinstance(e.b, Or)
+    assert isinstance(e.b.b, Not) and e.b.b.a.index == 2
+
+    # removeOr rewrite keeps only AND/NOT
+    qb = QueryBuilder(make_query(0) | make_query(1)).remove_or()
+    def no_or(node):
+        if isinstance(node, Or):
+            return False
+        kids = [getattr(node, k) for k in ("a", "b") if hasattr(node, k)]
+        return all(no_or(k) for k in kids)
+    assert no_or(qb.expr)
+
+
+def test_database_query_weighted_cnf():
+    """contains() via the shallow weighted-CNF path (large p): clause scores
+    are linear, product across clauses, FLT map back to 0/1 (reference
+    partialMatch.h:366-397)."""
+    from helib_tpu.algos.query import Database, make_query, QueryBuilder
+    ctx = Context(m=31, p=5, r=1, bits=600, c=3, scheme="bgv")
+    sk = SecKey(ctx, seed=101)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rng = np.random.default_rng(103)
+    cols = [rng.integers(0, 3, ea.nslots) for _ in range(3)]
+    db = Database(ea, sk, [ea.encrypt(list(c), pk, rng) for c in cols])
+    qv = [1, 2, 0]
+    qc = {i: ea.encrypt([qv[i]] * ea.nslots, pk, rng) for i in range(3)}
+    expr = (make_query(0) | ~make_query(1)) & make_query(2)
+    qt = QueryBuilder(expr).build(3)
+    assert qt.contains_or and ctx.p > 2   # exercises the weighted path
+    res = db.contains(qt, qc)
+    m = [(c == v).astype(np.int64) for c, v in zip(cols, qv)]
+    expect = ((m[0] | (1 - m[1])) & m[2]).astype(np.int64)
+    np.testing.assert_array_equal(ea.decrypt_ints(res, sk), expect)
+
+    # get_score returns the raw clause-product score
+    score = db.get_score(qt, qc)
+    raw = (m[0] + (1 - m[1])) * m[2] % ctx.p
+    np.testing.assert_array_equal(ea.decrypt_ints(score, sk), raw)

@@ -148,3 +148,73 @@ def test_chen_han_cost_heuristic():
         assert not rc._use_chen_han(17, 3, 5)
     finally:
         rc.fhe_force_chen_han = old
+
+
+def test_bitwise_rotate_shift_concat_split(setup_p2):
+    """bitwiseRotate / right shift / concat / split (reference
+    binaryArith.cpp:535-582)."""
+    from helib_tpu.algos.binary import (bitwise_rotate, right_bitwise_shift,
+                                        left_shift, concat_binary_nums,
+                                        split_binary_nums)
+    ctx, sk, pk, ea, rng = setup_p2
+    W = 5
+    a = rng.integers(0, 1 << W, ea.nslots)
+    ca = encrypt_number(ea, pk, rng, a, W)
+
+    rot = bitwise_rotate(ea, ca, 2)
+    want = ((a << 2) | (a >> (W - 2))) & ((1 << W) - 1)
+    np.testing.assert_array_equal(decrypt_number(ea, sk, rot), want)
+    # negative amount rotates the other way
+    rot = bitwise_rotate(ea, ca, -1)
+    want = ((a >> 1) | (a << (W - 1))) & ((1 << W) - 1)
+    np.testing.assert_array_equal(decrypt_number(ea, sk, rot), want)
+
+    rs = right_bitwise_shift(ea, ca, 2)
+    assert len(rs) == W
+    np.testing.assert_array_equal(decrypt_number(ea, sk, rs), a >> 2)
+
+    ls = left_shift(ea, ca, 2, W)
+    np.testing.assert_array_equal(decrypt_number(ea, sk, ls),
+                                  (a << 2) & ((1 << W) - 1))
+
+    b = rng.integers(0, 1 << 3, ea.nslots)
+    cb = encrypt_number(ea, pk, rng, b, 3)
+    cc = concat_binary_nums(ca, cb)
+    np.testing.assert_array_equal(decrypt_number(ea, sk, cc),
+                                  a + (b << W))
+    lo, hi = split_binary_nums(cc, W)
+    np.testing.assert_array_equal(decrypt_number(ea, sk, lo), a)
+    np.testing.assert_array_equal(decrypt_number(ea, sk, hi), b)
+
+
+@pytest.mark.parametrize("nbits", [2, 3, 5, 7, 11, 15])
+def test_fifteen_or_less_4_four(setup_p2, nbits):
+    """Compression adders: up to 15 same-significance bits -> counter
+    (reference fifteenOrLess4Four, binaryArith.cpp:1317)."""
+    from helib_tpu.algos.binary import fifteen_or_less_4_four
+    ctx, sk, pk, ea, rng = setup_p2
+    vals = [rng.integers(0, 2, ea.nslots) for _ in range(nbits)]
+    bits = [ea.encrypt(list(v), pk, rng) for v in vals]
+    # sprinkle in a None (null pointer in the reference API)
+    if len(bits) < 15:
+        bits.insert(min(1, len(bits)), None)
+    out, nout = fifteen_or_less_4_four(ea, bits, sk)
+    got = decrypt_number(ea, sk, out)
+    np.testing.assert_array_equal(got, sum(vals))
+    assert nout >= 1
+
+
+def test_extract_bits(setup_p2):
+    """Ctxt.extract_bits (reference Ctxt::extractBits, Ctxt.h:1225)."""
+    ctx = Context(m=31, p=2, r=3, bits=700, c=3, scheme="bgv")
+    sk = SecKey(ctx, seed=61)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rng = np.random.default_rng(67)
+    vals = rng.integers(0, 8, ea.nslots)
+    ct = ea.encrypt(list(vals), pk, rng)
+    bits = ct.extract_bits(sk)
+    assert len(bits) == 3
+    for j, bj in enumerate(bits):
+        got = ea.decrypt_ints(bj, sk) % 2
+        np.testing.assert_array_equal(got, (vals >> j) & 1, err_msg=str(j))

@@ -216,3 +216,40 @@ def test_security_estimator(setup):
     assert abs(s - (3.8 * 40.96 - 20)) < 1e-6
     assert lwe_estimate_security(4096, 100, 60) == 0.0   # below-min sparse
     assert context_security(ctx) >= 0.0
+
+
+def test_frb_matrix_strategies():
+    """addSomeFrbMatrices / addMinimalFrbMatrices (reference
+    keySwitching.cpp:599,660): BSGS subset vs single-hop minimal set."""
+    from helib_tpu.context import Context
+    from helib_tpu.keys import SecKey
+    from helib_tpu.ksstrategy import (add_some_frb_matrices,
+                                      add_minimal_frb_matrices,
+                                      add_frb_matrices, ks_giant_step_size)
+    # m=127, p=2: ord(2) mod 127 = 7 -> d=7
+    ctx = Context(m=127, p=2, r=1, bits=300, c=3, scheme="bgv")
+    d = ctx.pal.d
+    assert d == 7
+
+    sk = SecKey(ctx, seed=89)
+    base = len(sk.matrices)
+    add_frb_matrices(sk)
+    assert len(sk.matrices) - base == d - 1   # all powers 1..d-1
+
+    sk = SecKey(ctx, seed=89)
+    base = len(sk.matrices)
+    add_some_frb_matrices(sk, bound=0)        # force BSGS
+    g = ks_giant_step_size(d)
+    expect = len(set(list(range(1, g)) + list(range(g, d, g))))
+    assert len(sk.matrices) - base == expect
+
+    sk = SecKey(ctx, seed=89)
+    base = len(sk.matrices)
+    add_minimal_frb_matrices(sk)
+    # d=7 <= MIN_THRESH: only s(X^p)
+    assert len(sk.matrices) - base == 1
+    # frobenius still reachable via hop chains
+    from helib_tpu.ksstrategy import hop_path
+    for j in range(1, d):
+        path = hop_path(sk, pow(2, j, 127))
+        assert path is not None and len(path) == j

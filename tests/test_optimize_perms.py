@@ -117,3 +117,30 @@ def test_network_homomorphic_good_dim():
     out = pp.apply(ct, sk)
     assert out.is_correct(), out.capacity()
     np.testing.assert_array_equal(ea.decrypt_ints(out, sk), s[perm])
+
+
+def test_add_matrices_4_network():
+    """addMatrices4Network generates exactly the automorphisms a built
+    network uses (reference keySwitching.cpp:667)."""
+    from helib_tpu.ksstrategy import add_matrices_4_network
+    ctx = Context(m=31, p=2, r=1, bits=500, c=3, scheme="bgv")
+    sk = SecKey(ctx, seed=79)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    pip = PermIndepPrecomp(ea, 3)
+    rng = np.random.default_rng(83)
+    perm = rng.permutation(ea.nslots)
+    pp = PermPrecomp(pip, perm)
+
+    add_matrices_4_network(sk, pp)
+    pal = ctx.pal
+    for dim, amt in pp.needed_rotations():
+        dim, amt = int(dim), int(amt)
+        kexp = pow(int(pal.gens[dim]), amt % int(pal.orders[dim]), ctx.m)
+        assert (1, kexp) in sk.matrices, (dim, amt, kexp)
+
+    # network applies correctly with the generated set
+    s = rng.integers(0, 2, ea.nslots)
+    ct = ea.encrypt(list(s), pk, rng)
+    out = pp.apply(ct, sk)
+    np.testing.assert_array_equal(ea.decrypt_ints(out, sk), s[perm])
