@@ -17,6 +17,9 @@ Usage: python benchmarks/fatboot_bench.py [tiny|small|big] [reps]
 
 import sys
 import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 

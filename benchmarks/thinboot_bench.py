@@ -14,6 +14,9 @@ Usage: python benchmarks/thinboot_bench.py [tiny|small] [reps]
 
 import sys
 import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 

@@ -511,20 +511,28 @@ def _rt_break_into_digits_impl(ctx: Context, data, k: int):
     DoubleCRT.cpp:479): data [k, N] on ctxt prefix (no specials) ->
     (digits, log2 noise) where digits is a list of [k+S, N] eval tensors
     R_j with data ≡ sum_j B_j R_j (mod Q_k), B_j = full digit products.
+
+    The whole decomposition is per-coefficient, so it runs in the
+    COEFFICIENT domain end to end: one inverse NTT of the live rows up
+    front, the sequential digit recursion as cheap elementwise ops, and a
+    single batched forward NTT of all digits at the end (vs one [k+S]-row
+    transform per digit — 1/c the launches and c× the rows per launch,
+    which is where the fused kernel's throughput is).
     """
     from .context import log2_sum
     with jax.ensure_compile_time_eval():
         consts = _digit_consts(_ctx_id(ctx), k)
     all_rows = ctx.rows_of(k, True)
     t_q, _ = ctx.dev_q(k, True)
-    cur = data                                  # running value on [k] rows
-    digits = []
+    live_q = ctx.dev_q(k, False)[0]
+    live_rows = ctx.rows_of(k, False)
+    cur = ctx.inv_ntt(data, live_rows)          # [k, N] coefficients
+    digit_coeffs = []
     noise_terms = []
     for j, cst in enumerate(consts):
         s, e = cst["rows"][0], cst["rows"][-1] + 1
-        x_eval = cur[..., s:e, :]
-        x_coeff = ctx.inv_ntt(x_eval, cst["rows"])
-        y = mul_mod_shoup(x_coeff, cst["c"], cst["c_sh"], cst["d_q"])
+        y = mul_mod_shoup(cur[..., s:e, :], cst["c"], cst["c_sh"],
+                          cst["d_q"])
         z = jnp.sum(y.astype(jnp.float64) * cst["inv_d"], axis=-2)
         alpha = jnp.floor(z)
         alpha_b = (alpha + ((z - alpha) >= 0.5)).astype(U32)
@@ -536,13 +544,14 @@ def _rt_break_into_digits_impl(ctx: Context, data, k: int):
         corr = mul_mod_shoup(alpha_b[..., None, :], cst["D_mod_t"],
                              cst["D_mod_t_sh"], t_q)
         digit_coeff = sub_mod(acc, corr, t_q)          # [k+S, N] coefficients
-        digit_eval = ctx.fwd_ntt(digit_coeff, all_rows)
-        digits.append(digit_eval)
+        digit_coeffs.append(digit_coeff)
         noise_terms.append(ctx.noise_uniform(cst["log2_D"] - 1.0))
         if j + 1 < len(consts):
-            # cur <- (cur - R_j) / B_{digit j}  on live ctxt rows
-            sub = sub_mod(cur, digit_eval[..., :k, :], ctx.dev_q(k, False)[0])
+            # cur <- (cur - R_j) / B_{digit j}, still in coeff domain
+            sub = sub_mod(cur, digit_coeff[..., :k, :], live_q)
             cur = mul_mod_shoup(sub, cst["Dfinv_mod_t"][:k],
-                                cst["Dfinv_mod_t_sh"][:k],
-                                ctx.dev_q(k, False)[0])
+                                cst["Dfinv_mod_t_sh"][:k], live_q)
+    stacked = jnp.stack(digit_coeffs, axis=-3)         # [c, k+S, N]
+    evals = ctx.fwd_ntt(stacked, all_rows)             # one batched call
+    digits = [evals[..., j, :, :] for j in range(len(consts))]
     return digits, log2_sum(noise_terms)

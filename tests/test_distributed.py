@@ -3,8 +3,10 @@
 Spawns two real OS processes that join a jax.distributed process group over
 localhost, build a global ("batch","limb") mesh spanning both processes'
 virtual CPU devices, run the sharded mult+relin pipeline, and check the
-decrypted result of a globally-sharded product against the single-process
-oracle.  Skipped cleanly if the CPU collectives backend is unavailable.
+result BIT-EXACTLY against the single-process unsharded execution of the
+same function on the same inputs (residue arithmetic is exact, so any
+wrong collective shows up as a mismatch).  Skipped cleanly if the CPU
+collectives backend is unavailable.
 """
 
 import os
@@ -38,20 +40,31 @@ jfn, ex = sharded_pipeline(ctx, sk, mesh, global_batch=2)
 with mesh:
     out = jfn(*ex)
     jax.block_until_ready(out)
-# every process holds the shards of its own batch entry; fetch the fully
-# replicated-by-gather copy for checking on process 0
+# every process holds the shards of its own batch entry; gather the full
+# arrays for value checking against the single-process oracle
 gathered = [np.asarray(jax.experimental.multihost_utils
                        .process_allgather(o, tiled=True)) for o in out]
 if pid == 0:
-    np.save("/tmp/helib_dist_out.npy", np.stack(gathered))
-    print("DIST_OK", gathered[0].shape)
+    # single-process oracle: same pipeline, unsharded, one batch row
+    # (make_batched_mult_relin broadcasts identical rows, so row 0 of the
+    # distributed result must equal the unsharded single-row result)
+    from helib_tpu.pipeline import make_mult_relin
+    fn, ex1 = make_mult_relin(ctx, sk)
+    ref = jax.jit(fn)(*ex1)
+    jax.block_until_ready(ref)
+    for got, want in zip(gathered, ref):
+        want = np.asarray(want)
+        assert got.shape[1:] == want.shape, (got.shape, want.shape)
+        for b in range(got.shape[0]):
+            np.testing.assert_array_equal(got[b], want)
+    print("DIST_OK values-match", gathered[0].shape)
 """
 
 
 @pytest.mark.slow
 def test_two_process_mult_relin(tmp_path):
-    if os.environ.get("HELIB_RUN_SLOW") != "1":
-        pytest.skip("gated: HELIB_RUN_SLOW=1 (spawns 2 distributed procs)")
+    """Real 2-process jax.distributed run, decoded result compared
+    bit-exactly with the unsharded single-process execution."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = str(s.getsockname()[1])
@@ -69,7 +82,7 @@ def test_two_process_mult_relin(tmp_path):
                                        "Unimplemented" in o):
                 pytest.skip("CPU collectives unavailable: " + o[-200:])
             raise AssertionError(o[-2000:])
-    assert "DIST_OK" in outs[0]
+    assert "DIST_OK values-match" in outs[0]
 
 
 def test_global_mesh_single_process():
