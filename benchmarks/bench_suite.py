@@ -33,20 +33,41 @@ def bench_bgv(quick=False):
     from helib_tpu.pipeline import make_mult_relin
     from helib_tpu import dcrt
 
+    import os
     configs = [("tiny", 257, 2, 300, 2)]
     if not quick:
         configs += [("small", 8009, 2, 380, 3)]
+    if os.environ.get("HELIB_BENCH_BIG"):
+        # reference bgv_basic.cpp:236 "big" + the HEXL pow2 config (:246)
+        configs += [("big", 32003, 2, 5800, 3),
+                    ("hexl", 32768, 65537, 6400, 3)]
     for name, m, p, bits, c in configs:
+        import time as _t
+        t0 = _t.time()
         ctx = Context(m=m, p=p, r=1, bits=bits, c=c, scheme="bgv")
         sk = SecKey(ctx, seed=2)
         fn, args = make_mult_relin(ctx, sk)
         jfn = jax.jit(fn)
+        setup_s = _t.time() - t0
 
-        def run():
-            jax.block_until_ready(jfn(*args))
-        per = timeit(run)
+        # chained steady-state timing (see bench.py): pipelined dispatch,
+        # fresh data every call, no per-call host sync
+        def chain(n):
+            o0, o1 = jfn(*args)
+            for _ in range(n - 1):
+                o0, o1 = jfn(o0, o1, args[2], args[3])
+            jax.block_until_ready((o0, o1))
+        t0 = _t.time(); chain(1); compile_s = _t.time() - t0
+        chain(3)
+        iters = 10
+        t0 = _t.time(); chain(iters); per = (_t.time() - t0) / iters
+        if per < 0.1:
+            iters = max(20, int(2.0 / per))
+            t0 = _t.time(); chain(iters); per = (_t.time() - t0) / iters
         print(json.dumps({"metric": f"bgv_mult_relin_ms_{name}_m{m}",
-                          "value": round(per * 1e3, 3), "unit": "ms"}))
+                          "value": round(per * 1e3, 3), "unit": "ms",
+                          "setup_s": round(setup_s, 1),
+                          "compile_s": round(compile_s, 1)}))
 
         # add (elementwise) on the same shapes
         q, mu = ctx.dev_q(ctx.L, False)

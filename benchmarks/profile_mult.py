@@ -4,17 +4,17 @@ import numpy as np, jax
 
 from helib_tpu.context import Context
 from helib_tpu.keys import SecKey
-from helib_tpu.pipeline import make_batched_mult_relin
+from helib_tpu.pipeline import make_mult_relin
 
 ctx = Context(m=8009, p=2, r=1, bits=380, c=3, scheme="bgv")
 sk = SecKey(ctx, seed=3)
-fn, ex = make_batched_mult_relin(ctx, sk, 16)
+fn, ex = make_mult_relin(ctx, sk)
 jfn = jax.jit(fn)
 r = jfn(*ex); jax.block_until_ready(r)
 r = jfn(*ex); jax.block_until_ready(r)
 
 jax.profiler.start_trace("/tmp/jtrace")
-for _ in range(3):
+for _ in range(10):
     r = jfn(*ex)
 jax.block_until_ready(r)
 jax.profiler.stop_trace()

@@ -18,6 +18,7 @@ from fractions import Fraction
 import numpy as np
 
 from .context import Context, log2_add
+from .exceptions import InvalidArgument
 from .keys import SecKey, PubKey, SKHandle
 from .ctxt import Ctxt, frac_log2
 from . import dcrt
@@ -28,7 +29,8 @@ from .nt.numbth import inv_mod
 
 class EncryptedArrayCKKS:
     def __init__(self, ctx: Context, scale_bits: int | None = None):
-        assert ctx.scheme == "ckks" and ctx.pal.pow2
+        if ctx.scheme != "ckks" or not ctx.pal.pow2:
+            raise InvalidArgument("EncryptedArrayCKKS requires a power-of-2-m CKKS context")
         self.ctx = ctx
         self.N = ctx.n_eval                       # phi(m)
         self.m = ctx.m

@@ -31,6 +31,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .palgebra import PAlgebra
+from .exceptions import InvalidArgument
 from .nt.primegen import gen_primes, PRIME_BITS
 from .nt.numbth import inv_mod
 from .ops.ntt import Pow2NTT, BluesteinTables
@@ -84,7 +85,8 @@ class Context:
     ntt_inv: object = field(init=False)
 
     def __post_init__(self):
-        assert self.scheme in ("bgv", "ckks")
+        if self.scheme not in ("bgv", "ckks"):
+            raise InvalidArgument(f"unknown scheme {self.scheme!r}")
         self.pal = PAlgebra(self.m, self.p if self.scheme == "bgv" else -1,
                             mvec=tuple(self.mvec) if self.mvec else None)
         n_ctxt = max(2, math.ceil(self.bits / (PRIME_BITS - 0.1)))

@@ -25,6 +25,7 @@ from .dcrt import (rt_add, rt_sub, rt_mul, rt_neg, rt_mul_scalar,
                    rt_break_into_digits)
 from .keys import SKHandle, SecKey, PubKey, KSMatrix, balanced_int
 from .nt.numbth import inv_mod
+from .exceptions import LogicError, InvalidArgument, OutOfRangeError
 
 SAFETY_BITS = 1.0   # reference `safety` margin (log 2) in interval selection
 SLACK_BITS = 4.0
@@ -141,7 +142,8 @@ class Ctxt:
     # ------------------------------------------------------- mod switching
     def mod_down_to(self, new_k: int, new_special: bool):
         """Real modulus switching down (reference Ctxt::modDownToSet)."""
-        assert new_k <= self.k
+        if new_k > self.k:
+            raise OutOfRangeError(f"mod_down_to: target level {new_k} above current {self.k}")
         if new_k == self.k and new_special == self.special:
             return
         added = self.mod_switch_added_noise()
@@ -306,7 +308,8 @@ class Ctxt:
     def tensor(self, other: "Ctxt"):
         """Tensor product (reference Ctxt::tensorProduct, Ctxt.cpp:1563)."""
         ctx = self.ctx
-        assert (self.k, self.special) == (other.k, other.special)
+        if (self.k, self.special) != (other.k, other.special):
+            raise LogicError("tensor: operands on different prime sets; bring_to_k first")
         k, sp = self.k, self.special
         pr = math.gcd(self.ptxt_space, other.ptxt_space)
         out_parts: list = []
@@ -321,7 +324,8 @@ class Ctxt:
         for h1, d1 in self.parts:
             for h2, d2 in other.parts:
                 h = h1.mul(h2)
-                assert h is not None, "incompatible part handles in tensor"
+                if h is None:
+                    raise LogicError("incompatible part handles in tensor")
                 add_part(h, rt_mul(ctx, d1, d2, k, sp))
         intF = 1
         if self.is_ckks:
@@ -496,7 +500,8 @@ class Ctxt:
         p^r -> p^{r-1} (reference Ctxt::divideByP, Ctxt.h:1212)."""
         ctx = self.ctx
         p = ctx.p
-        assert self.ptxt_space % p == 0 and self.ptxt_space > p
+        if self.ptxt_space % p or self.ptxt_space <= p:
+            raise InvalidArgument(f"divide_by_p: plaintext space {self.ptxt_space} not a proper multiple of p={p}")
         rows = ctx.rows_of(self.k, self.special)
         qs = ctx.all_q[np.array(rows)]
         inv = np.array([pow(p, -1, int(q)) for q in qs], dtype=np.uint32)[:, None]
@@ -533,7 +538,8 @@ class Ctxt:
     def reduce_ptxt_space(self, new_space: int):
         """Reduce plaintext space to gcd (reference reducePtxtSpace)."""
         g = math.gcd(self.ptxt_space, new_space)
-        assert g > 1
+        if g <= 1:
+            raise InvalidArgument(f"reduce_ptxt_space: gcd({self.ptxt_space}, {new_space}) is trivial")
         self.ptxt_space = g
         self.intFactor %= g
         return self

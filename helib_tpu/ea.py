@@ -20,6 +20,7 @@ from functools import lru_cache
 import numpy as np
 
 from .context import Context
+from .exceptions import InvalidArgument
 from .keys import SecKey, balanced_int
 from .nt.numbth import inv_mod
 from .nt import polymod as pm
@@ -31,7 +32,8 @@ class EncryptedArray:
         """r_override: build the slot tables mod p^r_override instead of the
         context's p^r (role of the reference's alternative PAlgebraMod views,
         e.g. the recryption alMod with its larger exponent)."""
-        assert ctx.scheme == "bgv"
+        if ctx.scheme != "bgv":
+            raise InvalidArgument("EncryptedArray requires a BGV context (use EncryptedArrayCKKS)")
         self.ctx = ctx
         pal = ctx.pal
         self.p = ctx.p

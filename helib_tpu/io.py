@@ -17,6 +17,7 @@ from fractions import Fraction
 import numpy as np
 
 from .context import Context
+from .exceptions import IOError_
 from .keys import SecKey, PubKey, SKHandle, KSMatrix
 from .ctxt import Ctxt
 
@@ -39,12 +40,15 @@ def _write_block(f, tag: str, meta: dict, arrays: list[np.ndarray]):
 
 def _read_block(f, expect_tag: str):
     magic = f.read(4)
-    assert magic == MAGIC, f"bad eye-catcher {magic!r}"
+    if magic != MAGIC:
+        raise IOError_(f"bad eye-catcher {magic!r}")
     ver = int.from_bytes(f.read(2), "little")
-    assert ver == VERSION, f"unsupported version {ver}"
+    if ver != VERSION:
+        raise IOError_(f"unsupported serialization version {ver}")
     n = int.from_bytes(f.read(4), "little")
     hdr = json.loads(f.read(n).decode())
-    assert hdr["_tag"] == expect_tag, (hdr["_tag"], expect_tag)
+    if hdr["_tag"] != expect_tag:
+        raise IOError_(f"expected {expect_tag!r} record, found {hdr['_tag']!r}")
     arrays = []
     for shape in hdr["_arrays"]:
         cnt = int(np.prod(shape)) if shape else 1
@@ -72,8 +76,10 @@ def read_context(f) -> Context:
     hdr.pop("_tag"), hdr.pop("_arrays")
     ctx = Context(**hdr)
     # primes are deterministic given params; verify identity
-    assert np.array_equal(ctx.qs, arrays[0]), "prime chain mismatch"
-    assert np.array_equal(ctx.sp, arrays[1]), "special prime mismatch"
+    if not np.array_equal(ctx.qs, arrays[0]):
+        raise IOError_("prime chain mismatch on Context read")
+    if not np.array_equal(ctx.sp, arrays[1]):
+        raise IOError_("special prime mismatch on Context read")
     return ctx
 
 
@@ -88,7 +94,8 @@ def context_from_json(s: str) -> Context:
     d = json.loads(s)
     qs, sp = d.pop("qs"), d.pop("sp")
     ctx = Context(**d)
-    assert [int(q) for q in ctx.qs] == qs
+    if [int(q) for q in ctx.qs] != qs:
+        raise IOError_("prime chain mismatch on JSON Context read")
     return ctx
 
 
@@ -234,7 +241,8 @@ def ctxt_to_json(ct: Ctxt) -> str:
 def ctxt_from_json(s: str, ctx: Context, pubkey: PubKey) -> Ctxt:
     import jax.numpy as jnp
     d = json.loads(s)
-    assert d["type"] == "Ctxt"
+    if d["type"] != "Ctxt":
+        raise IOError_(f"expected Ctxt record, found {d['type']!r}")
     parts = []
     for p in d["parts"]:
         arr = np.frombuffer(_b64.b64decode(p["data"]),

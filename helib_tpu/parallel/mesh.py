@@ -50,3 +50,20 @@ def sharded_mult_relin(ctx: Context, sk: SecKey, mesh: Mesh, batch: int):
                   out_shardings=(sh, sh))
     ex = tuple(jax.device_put(e, sh) for e in ex)
     return jfn, ex
+
+
+def sharded_automorph_relin(ctx: Context, sk: SecKey, mesh: Mesh, batch: int,
+                            kexp: int | None = None):
+    """jit-compiled batched rotate (automorph + key-switch) with
+    [batch, limb, N] sharding: the automorphism gather stays limb-local;
+    the key-switch digit basis extension is the cross-limb collective."""
+    import jax as _jax
+    from ..pipeline import make_automorph_relin
+    fn, ex = make_automorph_relin(ctx, sk, kexp)
+    bfn = _jax.vmap(fn, in_axes=(0, 0))
+    bex = tuple(jnp.broadcast_to(e, (batch,) + e.shape) for e in ex)
+    spec = P("batch", "limb", None)
+    sh = NamedSharding(mesh, spec)
+    jfn = jax.jit(bfn, in_shardings=(sh, sh), out_shardings=(sh, sh))
+    bex = tuple(jax.device_put(e, sh) for e in bex)
+    return jfn, bex

@@ -65,6 +65,45 @@ def make_batched_mult_relin(ctx: Context, sk: SecKey, batch: int,
     return bfn, bex
 
 
+def make_automorph_relin(ctx: Context, sk: SecKey, kexp: int | None = None,
+                         k: int | None = None):
+    """Returns (fn, example_args): fn maps a canonical 2-part ciphertext to
+    its rotation X -> X^kexp followed by key-switching back to the base key
+    — the hot op of every slot-rotation / matmul / bootstrap linear map
+    (reference smartAutomorph, Ctxt.cpp:2462-2515).
+
+    The automorphism itself is a pure gather along the eval axis (limb-
+    local under the batch x limb mesh); the key-switch digit decomposition
+    is the cross-limb stage."""
+    k = k if k is not None else ctx.L
+    pk = sk.pubkey or PubKey(sk)
+    if kexp is None:
+        # a generator of the first hypercube dimension, or any nontrivial k
+        kexp = ctx.pal.gens[0] if ctx.pal.gens else 3
+    ordm = 2 * ctx.n_eval if ctx.pal.pow2 else ctx.m
+    kexp %= ordm
+    sk.gen_ks_matrix(SKHandle(1, kexp, 0))
+    noise = ctx.noise_mod(max(ctx.ptxt_space, 2))
+
+    def fn(c0, c1):
+        ct = Ctxt(ctx, pk, [(SKHandle(0, 1, 0), c0), (SKHandle(1, 1, 0), c1)],
+                  k, False, ctx.ptxt_space if ctx.scheme == "bgv" else 1,
+                  noise, 1)
+        ct.automorph(kexp)
+        ct.relinearize(sk)
+        ct.drop_special_primes()
+        parts = dict((h.powS, d) for h, d in ct.parts)
+        return parts[0], parts[1]
+
+    N = ctx.n_eval
+    qs = ctx.primes_of(k, False)
+    rng = np.random.default_rng(0)
+    ex = tuple(jnp.asarray(rng.integers(0, qs[:, None].astype(np.int64),
+                                        (k, N)).astype(np.uint32))
+               for _ in range(2))
+    return fn, ex
+
+
 def make_encrypt(ctx: Context, pk):
     """Jit-able public-key encryption: (prng_key, ptxt residues [k, N]) ->
     two part tensors.  Device-side sampling (reference keys.cpp:633-761 with
