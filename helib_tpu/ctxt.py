@@ -531,9 +531,23 @@ class Ctxt:
     def extract_bits(self, sk, n_bits: int = 0) -> list:
         """Bit decomposition: returns ciphertexts encrypting the base-p
         digits (bits when p=2) of the slot values (reference
-        Ctxt::extractBits, Ctxt.h:1225,1586 — an alias of extractDigits)."""
+        Ctxt::extractBits, Ctxt.h:1225,1586 — an alias of extractDigits).
+
+        For odd composite m the input is first multiplied by the Phi_m
+        CRT idempotent: the device representation is mod X^m - 1, and the
+        extraction ladder's divide_by_p is exact only when the cofactor
+        ("junk") components of the plaintext are zero (see
+        nt.numbth.phim_idempotent).  For prime m the junk components are
+        integers and follow the same digit arithmetic, so no projection is
+        needed; power-of-2 m has no cofactor at all."""
         from .algos.extract import extract_digits
-        return extract_digits(self, sk, n_bits if n_bits > 0 else None)
+        from .nt.numbth import factorize, phim_idempotent
+        src = self
+        if not self.ctx.pal.pow2 and len(factorize(self.ctx.m)) > 1:
+            src = self.copy()
+            src.mul_constant_poly(
+                phim_idempotent(self.ctx.m, self.ptxt_space))
+        return extract_digits(src, sk, n_bits if n_bits > 0 else None)
 
     def reduce_ptxt_space(self, new_space: int):
         """Reduce plaintext space to gcd (reference reducePtxtSpace)."""

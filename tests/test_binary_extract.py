@@ -218,3 +218,45 @@ def test_extract_bits(setup_p2):
     for j, bj in enumerate(bits):
         got = ea.decrypt_ints(bj, sk) % 2
         np.testing.assert_array_equal(got, (vals >> j) & 1, err_msg=str(j))
+
+
+def test_phim_idempotent():
+    """Pi == 1 mod Phi_m, idempotent mod X^m-1, zero in the Phi_1 component
+    (the projector behind composite-m extractBits / recryption constants)."""
+    import numpy as np
+    from helib_tpu.nt.numbth import phim_idempotent
+    from helib_tpu.nt.cyclotomic import cyclotomic_poly
+    from helib_tpu.nt import polymod as pm
+    for m, mod in [(45, 128), (255, 128), (15, 32)]:
+        Pi = phim_idempotent(m, mod)
+        assert pm.pmod([int(x) for x in Pi],
+                       list(cyclotomic_poly(m)), mod) == [1]
+        conv = np.zeros(m, dtype=np.int64)
+        for i in range(m):
+            if Pi[i]:
+                conv[(i + np.arange(m)) % m] += int(Pi[i]) * Pi
+        assert ((conv - Pi) % mod == 0).all()
+        assert int(Pi.sum()) % mod == 0
+
+
+def test_extract_bits_composite_m():
+    """extractBits at odd COMPOSITE m: regression for the mod-X^m-1
+    divisibility bug — without the Phi_m projection the divide_by_p ladder
+    corrupts the junk components and decrypts garbage."""
+    import numpy as np
+    from helib_tpu.context import Context
+    from helib_tpu.keys import SecKey, PubKey
+    from helib_tpu.ea import EncryptedArray
+    ctx = Context(m=45, p=2, r=3, bits=700, c=3, scheme="bgv")
+    sk = SecKey(ctx, seed=41)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rng = np.random.default_rng(43)
+    vals = rng.integers(0, 8, ea.nslots)
+    ct = pk.encrypt_bgv(ea.encode([np.array([v]) for v in vals]), rng)
+    bits = ct.extract_bits(sk)
+    assert len(bits) == 3
+    for j, bj in enumerate(bits):
+        got = np.array([int(np.asarray(s)[0]) % 2
+                        for s in ea.decrypt(bj, sk)])
+        np.testing.assert_array_equal(got, (vals >> j) & 1)

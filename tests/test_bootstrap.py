@@ -42,8 +42,7 @@ def test_linear_maps_roundtrip(setup):
     np.testing.assert_array_equal(ea.decrypt_ints(ct3, sk), slots)
 
 
-@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
-                    reason="composite-m thin boot is slow; HELIB_RUN_SLOW=1")
+@pytest.mark.slow
 def test_thin_recrypt_composite_m():
     """Thin bootstrap at composite m=45 (two hypercube dims; mirrors the
     reference bootstrappable composite-m parameter family)."""
@@ -62,8 +61,7 @@ def test_thin_recrypt_composite_m():
     np.testing.assert_array_equal(ea.decrypt_ints(out, sk), slots)
 
 
-@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
-                    reason="tree-map thin boot is slow; HELIB_RUN_SLOW=1")
+@pytest.mark.slow
 def test_thin_recrypt_tree_maps():
     """Thin bootstrap at m=255 with the scalable factor-tree ThinEvalMap
     (3 coprime factors, d=8, 16 slots) — the reference ThinEvalMap route."""
@@ -85,8 +83,7 @@ def test_thin_recrypt_tree_maps():
     np.testing.assert_array_equal(ea.decrypt_ints(out, sk), slots)
 
 
-@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
-                    reason="p^r thin boot is slow; set HELIB_RUN_SLOW=1")
+@pytest.mark.slow
 def test_thin_recrypt_pr_space():
     """Thin bootstrap with plaintext space p^r = 4 (r=2): exercises the
     bottom-digit correction branch of extractDigitsThin."""
@@ -105,8 +102,7 @@ def test_thin_recrypt_pr_space():
     np.testing.assert_array_equal(ea.decrypt_ints(out, sk), slots)
 
 
-@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
-                    reason="tree-map fat boot is slow; HELIB_RUN_SLOW=1")
+@pytest.mark.slow
 def test_fat_recrypt_tree_maps():
     """Fat bootstrap at m=255 with the scalable factor-tree EvalMap
     (BlockMatMul1D last-factor stage + powerful-basis rounding) — the
@@ -133,8 +129,7 @@ def test_fat_recrypt_tree_maps():
                                       np.asarray(slots[sl]) % ea.pr)
 
 
-@pytest.mark.skipif(not __import__("os").environ.get("HELIB_RUN_SLOW"),
-                    reason="fat bootstrap e2e is slow; set HELIB_RUN_SLOW=1")
+@pytest.mark.slow
 def test_fat_recrypt(setup):
     """Reference GTestFatboot: bootstrap with FULLY PACKED slots."""
     from helib_tpu.recryption import FatRecryptData, fat_recrypt
