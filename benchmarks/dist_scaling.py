@@ -39,7 +39,7 @@ from helib_tpu.parallel.distributed import global_mesh, sharded_pipeline
 ctx = Context(m=45, p=2, r=1, bits=118, c=3, scheme="bgv")
 sk = SecKey(ctx, seed=1)
 mesh = global_mesh(limb=2)
-jfn, ex = sharded_pipeline(ctx, sk, mesh, global_batch=8)
+jfn, ex = sharded_pipeline(ctx, sk, mesh, global_batch=32)
 with mesh:
     out = jfn(*ex); jax.block_until_ready(out)      # compile
     t0 = time.time()
