@@ -13,5 +13,5 @@ run ntt2          1800 python -u benchmarks/bench_suite.py suite=ntt quick=1
 run thinboot_tiny2 3600 python -u benchmarks/thinboot_bench.py tiny 2
 run ckks2         2400 python -u benchmarks/bench_suite.py suite=ckks
 run scaling       1200 python -u benchmarks/scaling.py
-run thinboot_small2 6000 python -u benchmarks/thinboot_bench.py small 1
+run thinboot_small2 6000 python -u benchmarks/thinboot_bench.py small 2
 echo "PHASE2 DONE $(date -u)" | tee -a "$LOG"

@@ -34,7 +34,10 @@ U32 = jnp.uint32
 
 ROW_BLOCK = 8          # limb rows per program (sublane-aligned)
 LANE = 128
-MIN_PALLAS_N = 8192    # below this, the jnp path is used instead
+MIN_PALLAS_N = 16384   # below this the jnp path is used: the fine
+                       # phase needs A = n/128 >= 128 lanes, so
+                       # n=8192 (A=64) would hit lane-splitting
+                       # reshapes Mosaic cannot relayout
 
 
 def fine_layout(seg: np.ndarray, n: int) -> np.ndarray:
@@ -169,7 +172,9 @@ def pallas_ntt(x, tw_cat, tsh_cat, fine_cat, fsh_cat, q, *, n: int,
     P = x.shape[0]
     assert P % ROW_BLOCK == 0, P
     grid = (P // ROW_BLOCK,)
-    ncoarse = max(n // LANE, 2)
+    # coarse tables only need entries [0, n/LANE), but Mosaic blocks must be
+    # >= one full 128-lane tile wide (n=8192 has n/LANE=64)
+    ncoarse = max(n // LANE, LANE)
     tw_c = tw_cat[:, :ncoarse]
     tsh_c = tsh_cat[:, :ncoarse]
     kern = functools.partial(_ntt_kernel, n=n, inverse=inverse)
@@ -210,7 +215,7 @@ def pallas_conv(x, tw, tsh, fine, fsh, itw, itsh, ifine, ifsh, kh, khsh, q,
     P = x.shape[0]
     assert P % ROW_BLOCK == 0
     grid = (P // ROW_BLOCK,)
-    ncoarse = max(n // LANE, 2)
+    ncoarse = max(n // LANE, LANE)
     kern = functools.partial(_conv_kernel, n=n)
     zero = np.int32(0)
     bs = lambda w: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, zero),
