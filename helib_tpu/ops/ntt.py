@@ -386,7 +386,8 @@ def bluestein_apply(x, t, m: int, B: int):
     a3 = reduce_u32(a[..., None, :, :], t["aux_q"])            # [..., 3, P, m]
     pad = [(0, 0)] * (a3.ndim - 1) + [(0, B - m)]
     ap = jnp.pad(a3, pad)
-    if _pallas_enabled() and B >= 8192 and "tw_cat" in t["aux"]:
+    from .pallas_ntt import MIN_PALLAS_N
+    if _pallas_enabled() and B >= MIN_PALLAS_N and "tw_cat" in t["aux"]:
         # fully fused NTT -> pointwise khat -> iNTT in one VMEM kernel
         from .pallas_ntt import apply_conv
         p = apply_conv(ap, t["aux"], t["khat"], t["khat_sh"], t["aux_q"])
