@@ -533,17 +533,19 @@ class Ctxt:
         digits (bits when p=2) of the slot values (reference
         Ctxt::extractBits, Ctxt.h:1225,1586 — an alias of extractDigits).
 
-        For odd composite m the input is first multiplied by the Phi_m
-        CRT idempotent: the device representation is mod X^m - 1, and the
-        extraction ladder's divide_by_p is exact only when the cofactor
-        ("junk") components of the plaintext are zero (see
-        nt.numbth.phim_idempotent).  For prime m the junk components are
-        integers and follow the same digit arithmetic, so no projection is
-        needed; power-of-2 m has no cofactor at all."""
+        For odd composite m (including prime powers p'^k, where the
+        cofactor (X^m-1)/Phi_m = X^{m/p'}-1 has degree > 1) the input is
+        first multiplied by the Phi_m CRT idempotent: the device
+        representation is mod X^m - 1, and the extraction ladder's
+        divide_by_p is exact only when the cofactor ("junk") components of
+        the plaintext are zero (see nt.numbth.phim_idempotent).  For prime
+        m the single junk component (evaluation at X=1) is an integer and
+        follows the same digit arithmetic, so no projection is needed;
+        power-of-2 m has no cofactor at all."""
         from .algos.extract import extract_digits
-        from .nt.numbth import factorize, phim_idempotent
+        from .nt.numbth import is_prime, phim_idempotent
         src = self
-        if not self.ctx.pal.pow2 and len(factorize(self.ctx.m)) > 1:
+        if not self.ctx.pal.pow2 and not is_prime(self.ctx.m):
             src = self.copy()
             src.mul_constant_poly(
                 phim_idempotent(self.ctx.m, self.ptxt_space))

@@ -27,29 +27,45 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+from .exceptions import IOError_
+
+# proper number tokens only: no bare 'e' / '+' / '.' fragments
+_NUM_RE = re.compile(r"\[|\]|[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?")
+
 
 def tokenize(text: str):
-    return re.findall(r"\[|\]|[-0-9.e+]+", text)
+    return _NUM_RE.findall(text)
 
 
 def parse_all(text: str):
     """Parse the bracketed token stream into nested python lists; numbers
-    become int (or float when they contain '.')."""
+    become int (or float when they contain '.' or an exponent)."""
     toks = tokenize(text)
     pos = 0
 
     def parse_item():
         nonlocal pos
+        if pos >= len(toks):
+            raise IOError_("legacy parse: unexpected end of token stream")
         t = toks[pos]
         if t == "[":
             pos += 1
             out = []
-            while toks[pos] != "]":
+            while True:
+                if pos >= len(toks):
+                    raise IOError_("legacy parse: unterminated '['")
+                if toks[pos] == "]":
+                    break
                 out.append(parse_item())
             pos += 1
             return out
+        if t == "]":
+            raise IOError_("legacy parse: unmatched ']'")
         pos += 1
-        return float(t) if "." in t else int(t)
+        try:
+            return float(t) if ("." in t or "e" in t or "E" in t) else int(t)
+        except ValueError as exc:
+            raise IOError_(f"legacy parse: bad number token {t!r}") from exc
 
     items = []
     while pos < len(toks):
@@ -101,7 +117,9 @@ def read_legacy_dump(path: str) -> HelibLegacyDump:
             nprimes = x
             primes = [v for v in flat[i + 1:i + 1 + nprimes]]
             break
-    assert nprimes and len(primes) == nprimes, (nprimes, primes)
+    if not nprimes or len(primes) != nprimes:
+        raise IOError_(f"legacy parse: bad prime chain "
+                       f"(nprimes={nprimes}, got {len(primes)})")
     phi = len([k for k in range(1, m) if __import__("math").gcd(k, m) == 1])
 
     # pubEncrKey: [ptxtSpace noiseVar [primeSet] nparts part...] with
@@ -114,14 +132,17 @@ def read_legacy_dump(path: str) -> HelibLegacyDump:
                 and all(isinstance(x, list) and len(x) == 2 for x in L[4:])):
             pub = L
             break
-    assert pub is not None, "pubEncrKey not found"
+    if pub is None:
+        raise IOError_("legacy parse: pubEncrKey not found")
     pset = pub[2]
     parts = []
     for part in pub[4:]:
         dcrt, handle = part
-        assert dcrt[0] == pset
+        if dcrt[0] != pset:
+            raise IOError_("legacy parse: pubEncrKey part prime set mismatch")
         rows = dcrt[1:]
-        assert all(len(rr) == phi for rr in rows)
+        if not all(len(rr) == phi for rr in rows):
+            raise IOError_("legacy parse: pubEncrKey row width != phi(m)")
         parts.append((tuple(handle), list(pset), rows))
 
     # secret key: the LAST full-chain DoubleCRT in the file
@@ -129,7 +150,8 @@ def read_legacy_dump(path: str) -> HelibLegacyDump:
     for L in _iter_lists(items):
         if _is_dcrt(L, nprimes, phi):
             sk = L
-    assert sk is not None, "secret key DoubleCRT not found"
+    if sk is None:
+        raise IOError_("legacy parse: secret key DoubleCRT not found")
     return HelibLegacyDump(m=m, p=p, r=r, gens=gens, ords=ords,
                            primes=primes, pub_enc_parts=parts,
                            pub_ptxt_space=pub[0], sk_rows=sk[1:])

@@ -182,9 +182,6 @@ class ShardedNTT:
         """x [..., P, n] coefficients -> evaluations (Pow2NTT order).
         The [..., P, A, nB] view's A axis is the one to shard."""
         t = self.dev
-        lead = x.shape[:-1]
-        X = x.reshape(*lead, -1, self.A, self.n // self.A) \
-            if x.ndim == 2 else x.reshape(*lead, self.A, self.n // self.A)
         X = x.reshape(*x.shape[:-1], self.A, self.n // self.A)
         S = self._coarse(X, t["W1"], t["W1_sh"])
         S = mul_mod_shoup(S, t["TW"], t["TW_sh"], t["q"])

@@ -260,3 +260,27 @@ def test_extract_bits_composite_m():
         got = np.array([int(np.asarray(s)[0]) % 2
                         for s in ea.decrypt(bj, sk)])
         np.testing.assert_array_equal(got, (vals >> j) & 1)
+
+
+def test_extract_bits_prime_power_m():
+    """extractBits at odd PRIME-POWER m (m=27): the cofactor
+    (X^27-1)/Phi_27 = X^9-1 has degree 9 > 1, so the Phi_m projection is
+    required just like for multi-prime composite m (round-3 advisor
+    finding: the old guard `len(factorize(m)) > 1` skipped this class)."""
+    import numpy as np
+    from helib_tpu.context import Context
+    from helib_tpu.keys import SecKey, PubKey
+    from helib_tpu.ea import EncryptedArray
+    ctx = Context(m=27, p=2, r=3, bits=700, c=3, scheme="bgv")
+    sk = SecKey(ctx, seed=47)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rng = np.random.default_rng(53)
+    vals = rng.integers(0, 8, ea.nslots)
+    ct = pk.encrypt_bgv(ea.encode([np.array([v]) for v in vals]), rng)
+    bits = ct.extract_bits(sk)
+    assert len(bits) == 3
+    for j, bj in enumerate(bits):
+        got = np.array([int(np.asarray(s)[0]) % 2
+                        for s in ea.decrypt(bj, sk)])
+        np.testing.assert_array_equal(got, (vals >> j) & 1)

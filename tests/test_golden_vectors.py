@@ -43,9 +43,6 @@ def test_prime_chain_golden(setup):
     """The generated prime chain is a pure function of (m, bits, c)."""
     ctx, sk, pk, ea = setup
     assert int(ctx.qs[0]) % (2 * 31) == 1 or int(ctx.qs[0]) % 31 == 1
-    assert digest(ctx.qs.astype(np.uint64),
-                  ctx.sp.astype(np.uint64)) == digest(
-        ctx.qs.astype(np.uint64), ctx.sp.astype(np.uint64))
     # stored golden digest (update deliberately if prime policy changes)
     got = digest(ctx.qs.astype(np.uint64), ctx.sp.astype(np.uint64))
     assert got == "386569c5132bf867", got

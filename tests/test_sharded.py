@@ -18,8 +18,21 @@ from helib_tpu.context import Context
 from helib_tpu.keys import SecKey, PubKey, SKHandle
 
 
-def _mesh_or_skip(n=8):
+def _virtual_devices(n=8):
+    """The 8 virtual CPU devices from conftest.  jax.devices() alone is not
+    enough: a TPU plugin (axon) can take over the default backend even under
+    JAX_PLATFORMS=cpu, hiding the virtual CPU mesh."""
     devs = jax.devices()
+    if len(devs) < n:
+        try:
+            devs = jax.devices("cpu")
+        except RuntimeError:
+            pass
+    return devs
+
+
+def _mesh_or_skip(n=8):
+    devs = _virtual_devices(n)
     if len(devs) < n:
         pytest.skip(f"need {n} virtual devices, have {len(devs)}")
     from helib_tpu.parallel.mesh import make_mesh
@@ -57,7 +70,7 @@ def test_sharded_ntt_phi_axis():
     from helib_tpu.ops.ntt import Pow2NTT, ntt_pow2_fwd
     from helib_tpu.nt.primegen import gen_primes
 
-    devs = jax.devices()
+    devs = _virtual_devices(8)
     if len(devs) < 8:
         pytest.skip("need 8 virtual devices")
     n, A = 2048, 8
@@ -117,7 +130,7 @@ def test_thin_recrypt_with_sharded_parts():
     from helib_tpu.ea import EncryptedArray
     from helib_tpu.recryption import RecryptData, thin_recrypt
 
-    devs = jax.devices()
+    devs = _virtual_devices(2)
     if len(devs) < 2:
         pytest.skip("need >= 2 virtual devices")
     ctx = Context(m=31, p=2, r=1, bits=800, c=3, scheme="bgv")
