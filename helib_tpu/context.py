@@ -308,8 +308,10 @@ def _bluestein_rows(dev: dict, idx: np.ndarray) -> dict:
     out = dict(dev)
     for k in ("q", "u_in", "u_in_sh", "u_out", "u_out_sh", "negR", "negR_sh"):
         out[k] = dev[k][idx]
-    for k in ("khat", "khat_sh", "Rt_mod_q", "Rt_mod_q_sh"):
-        out[k] = dev[k][:, idx]
+    for k in ("khat", "khat_sh", "khat_f", "khat_f_sh",
+              "Rt_mod_q", "Rt_mod_q_sh"):
+        if k in dev:
+            out[k] = dev[k][:, idx]
     return out
 
 

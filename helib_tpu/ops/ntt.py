@@ -42,6 +42,12 @@ from .modops import (add_mod, sub_mod, mul_mod_shoup, shoup, reduce_u32, U32)
 # table construction (host, exact ints / uint64 numpy)
 # ---------------------------------------------------------------------------
 
+def _spectral_fine(kh: np.ndarray) -> np.ndarray:
+    """Host-side spectral_fine_layout (numpy): [..., n] -> [..., 128, n/128]."""
+    from .pallas_ntt import spectral_fine_layout
+    return spectral_fine_layout(kh)
+
+
 def power_table(r: int, q: int, length: int) -> np.ndarray:
     """[1, r, r^2, ..., r^(length-1)] mod q, vectorized (q < 2^31)."""
     pw = np.array([1], dtype=np.uint64)
@@ -151,39 +157,77 @@ class Pow2NTT:
         self.ninv_sh = jnp.asarray(ninv_sh)
         self.q_d = jnp.asarray(qs.astype(np.uint32)[:, None])
         # concatenated "br-layout" tables for the fused Pallas kernel:
-        # stage s occupies entries [2^s, 2^(s+1)); entry 0 = n^{-1} (inverse)
+        # stage s occupies entries [2^s, 2^(s+1)); entry 0 = n^{-1} (inverse).
+        # Stages consumed as the SECOND member of a radix-4 composite pair
+        # (pallas_ntt._schedule) are stored even/odd-deinterleaved:
+        # [2m:3m] = blocks 2i, [3m:4m] = blocks 2i+1 — so the kernel only
+        # ever does plain slices + trailing broadcasts (no in-kernel
+        # lane-splitting table reshapes, which Mosaic rejects).
+        def _eo(seg):
+            return np.concatenate([seg[:, 0::2], seg[:, 1::2]], axis=1)
+
         cat = np.concatenate([np.zeros((len(qs), 1), np.uint32)] + np_tw,
                              axis=1)
         icat = np.concatenate([ninv] + np_itw, axis=1)
         cat_sh = np.concatenate([np.zeros((len(qs), 1), np.uint32)]
                                 + np_tw_sh, axis=1)
         icat_sh = np.concatenate([ninv_sh] + np_itw_sh, axis=1)
-        self.tw_cat = jnp.asarray(cat)
-        self.tw_cat_sh = jnp.asarray(cat_sh)
-        self.itw_cat = jnp.asarray(icat)
-        self.itw_cat_sh = jnp.asarray(icat_sh)
-        # fine-phase (transposed) tables for the fused Pallas kernel
+        stages = n.bit_length() - 1
         if n >= 256:
-            from .pallas_ntt import fine_layout
-            stages = n.bit_length() - 1
+            from .pallas_ntt import fine_layout, _schedule
             coarse = stages - 7
+            _, coarse_pairs = _schedule(0, coarse)
+            for _, s1 in coarse_pairs:
+                m1 = 1 << s1
+                cat[:, m1:2 * m1] = _eo(np_tw[s1])
+                cat_sh[:, m1:2 * m1] = _eo(np_tw_sh[s1])
+                icat[:, m1:2 * m1] = _eo(np_itw[s1])
+                icat_sh[:, m1:2 * m1] = _eo(np_itw_sh[s1])
+            # fine-phase (transposed) tables for the fused Pallas kernel
+            fine_single, fine_pairs = _schedule(max(coarse, 0), stages)
             fine = np.zeros_like(cat)
             fine_sh = np.zeros_like(cat)
             ifine = np.zeros_like(cat)
             ifine_sh = np.zeros_like(cat)
-            for s in range(max(coarse, 0), stages):
+
+            def put(dst, s, seg, second):
                 m = 1 << s
-                fine[:, m:2 * m] = fine_layout(np_tw[s], n)
-                fine_sh[:, m:2 * m] = fine_layout(np_tw_sh[s], n)
-                ifine[:, m:2 * m] = fine_layout(np_itw[s], n)
-                ifine_sh[:, m:2 * m] = fine_layout(np_itw_sh[s], n)
+                if second:
+                    h = m // 2
+                    dst[:, m:m + h] = fine_layout(seg[:, 0::2], n)
+                    dst[:, m + h:2 * m] = fine_layout(seg[:, 1::2], n)
+                else:
+                    dst[:, m:2 * m] = fine_layout(seg, n)
+
+            roles = ([(fine_single, False)] if fine_single is not None
+                     else [])
+            for s0, s1 in fine_pairs:
+                roles += [(s0, False), (s1, True)]
+            for s, second in roles:
+                put(fine, s, np_tw[s], second)
+                put(fine_sh, s, np_tw_sh[s], second)
+                put(ifine, s, np_itw[s], second)
+                put(ifine_sh, s, np_itw_sh[s], second)
             self.tw_fine = jnp.asarray(fine)
             self.tw_fine_sh = jnp.asarray(fine_sh)
             self.itw_fine = jnp.asarray(ifine)
             self.itw_fine_sh = jnp.asarray(ifine_sh)
+            # lane-pre-expanded coarse tables for the sublane-butterfly
+            # coarse phase: [P, A, 1, LANE]
+            from .pallas_ntt import coarse3_layout
+            self.tw_cat3 = jnp.asarray(coarse3_layout(cat, n))
+            self.tw_cat3_sh = jnp.asarray(coarse3_layout(cat_sh, n))
+            self.itw_cat3 = jnp.asarray(coarse3_layout(icat, n))
+            self.itw_cat3_sh = jnp.asarray(coarse3_layout(icat_sh, n))
         else:
             self.tw_fine = self.tw_fine_sh = None
             self.itw_fine = self.itw_fine_sh = None
+            self.tw_cat3 = self.tw_cat3_sh = None
+            self.itw_cat3 = self.itw_cat3_sh = None
+        self.tw_cat = jnp.asarray(cat)
+        self.tw_cat_sh = jnp.asarray(cat_sh)
+        self.itw_cat = jnp.asarray(icat)
+        self.itw_cat_sh = jnp.asarray(icat_sh)
 
     def tree(self):
         """Pytree of device tables (passed through jit boundaries)."""
@@ -194,6 +238,10 @@ class Pow2NTT:
             out.update({"tw_cat": self.tw_cat, "tw_cat_sh": self.tw_cat_sh,
                         "itw_cat": self.itw_cat,
                         "itw_cat_sh": self.itw_cat_sh,
+                        "tw_cat3": self.tw_cat3,
+                        "tw_cat3_sh": self.tw_cat3_sh,
+                        "itw_cat3": self.itw_cat3,
+                        "itw_cat3_sh": self.itw_cat3_sh,
                         "tw_fine": self.tw_fine,
                         "tw_fine_sh": self.tw_fine_sh,
                         "itw_fine": self.itw_fine,
@@ -213,6 +261,7 @@ def _broadcast_tree(t, k: int):
            "itw": [exp(a) for a in t["itw"]],
            "itw_sh": [exp(a) for a in t["itw_sh"]]}
     for key in ("tw_cat", "tw_cat_sh", "itw_cat", "itw_cat_sh",
+                "tw_cat3", "tw_cat3_sh", "itw_cat3", "itw_cat3_sh",
                 "tw_fine", "tw_fine_sh", "itw_fine", "itw_fine_sh"):
         if key in t:
             out[key] = exp(t[key])
@@ -241,11 +290,10 @@ def _pallas_enabled() -> bool:
 def ntt_pow2_fwd(x, t):
     """x: [..., P, n] coefficients -> evaluations in `eval_exponents` order."""
     n = x.shape[-1]
-    if (_pallas_enabled() and "tw_cat" in t):
+    if (_pallas_enabled() and "tw_cat3" in t):
         from .pallas_ntt import apply_ntt, MIN_PALLAS_N
         if n >= MIN_PALLAS_N:
-            return apply_ntt(x, t["tw_cat"], t["tw_cat_sh"], t["tw_fine"],
-                             t["tw_fine_sh"], t["q"], inverse=False)
+            return apply_ntt(x, t, t["q"], inverse=False)
     q = t["q"][..., None]  # [.., P, 1, 1]
     for s, (w, ws) in enumerate(zip(t["tw"], t["tw_sh"])):
         m = 1 << s
@@ -261,11 +309,10 @@ def ntt_pow2_fwd(x, t):
 def ntt_pow2_inv(x, t):
     """Inverse of ntt_pow2_fwd (output: natural coefficient order)."""
     n = x.shape[-1]
-    if (_pallas_enabled() and "itw_cat" in t):
+    if (_pallas_enabled() and "itw_cat3" in t):
         from .pallas_ntt import apply_ntt, MIN_PALLAS_N
         if n >= MIN_PALLAS_N:
-            return apply_ntt(x, t["itw_cat"], t["itw_cat_sh"], t["itw_fine"],
-                             t["itw_fine_sh"], t["q"], inverse=True)
+            return apply_ntt(x, t, t["q"], inverse=True)
     q = t["q"][..., None]
     for s in reversed(range(len(t["itw"]))):
         w, ws = t["itw"][s], t["itw_sh"][s]
@@ -377,6 +424,12 @@ class BluesteinTables:
                                      .astype(np.float32)[:, None, None]),
             "aux": _broadcast_tree(nttB.tree(), 1),                # P-broadcast
         }
+        if B >= 256:
+            # pre-relayouted for the fused conv kernel's transposed-domain
+            # pointwise multiply: [3, P, LANE, B/LANE]
+            khat_sh_np = shoup(khat, raux[:, None, None])
+            self.dev["khat_f"] = jnp.asarray(_spectral_fine(khat))
+            self.dev["khat_f_sh"] = jnp.asarray(_spectral_fine(khat_sh_np))
 
 
 def bluestein_apply(x, t, m: int, B: int):
@@ -390,7 +443,8 @@ def bluestein_apply(x, t, m: int, B: int):
     if _pallas_enabled() and B >= MIN_PALLAS_N and "tw_cat" in t["aux"]:
         # fully fused NTT -> pointwise khat -> iNTT in one VMEM kernel
         from .pallas_ntt import apply_conv
-        p = apply_conv(ap, t["aux"], t["khat"], t["khat_sh"], t["aux_q"])
+        p = apply_conv(ap, t["aux"], t["khat_f"], t["khat_f_sh"],
+                       t["aux_q"], kh_layout="fine")
     else:
         A = ntt_pow2_fwd(ap, t["aux"])
         Pr = mul_mod_shoup(A, t["khat"], t["khat_sh"], t["aux_q"])

@@ -1,20 +1,34 @@
-"""Fused Pallas NTT kernels (two-phase / four-step layout).
+"""Fused Pallas NTT kernels (two-phase sublane-butterfly layout, radix-4).
 
 The jnp stage-by-stage NTT in ops/ntt.py reads+writes HBM once per butterfly
 stage (log2(n) passes).  These kernels keep a block of limb rows resident in
 VMEM and run ALL stages in-register, with 32-bit Shoup butterflies (no
 uint64 emulation).
 
-TPU constraint: Mosaic cannot relayout reshapes that move data across the
-128-wide lane dimension, so butterflies with stride < 128 cannot use the
-plain [m, 2, half] view.  Classic fix (four-step NTT): run the coarse stages
-(half >= 128) in natural layout, transpose the [A, 128] view to [128, A]
-(A = n/128), and run the fine stages along the former-block axis where the
-effective stride is again >= lane width.  Fine-stage twiddles are stored
-pre-transposed ("fine" tables) so no in-kernel table relayouts are needed.
+TPU layout strategy (round-3 redesign, measured on v5e):
+  * Butterfly relayouts along the LANE dimension are the dominant cost on
+    the VPU — a stack/reshape interleave at sub-512-lane granularity costs
+    ~4x the butterfly arithmetic itself, even though the write positions
+    are layout-identical.  Fix: NEVER butterfly along lanes.
+  * COARSE phase: view x as [A, 128] (A = n/128).  Coarse butterflies
+    (stride >= 128 in natural order) pair rows of this view, i.e. operate
+    along the SUBLANE-side A axis, elementwise in the 128 lanes.  Twiddle
+    tables are shipped pre-expanded along lanes as [C, 1, 128] blocks so
+    the kernel never broadcasts across lanes.
+  * FINE phase: transpose to [128, A] once; the remaining 7 stages pair
+    sub-rows of the former-lane axis, again sublane-side, with
+    fine-relayouted twiddle tables ("fine" order).
+  * Radix-4 composite stages: two butterfly levels share ONE interleave;
+    stage-(s+1) twiddles are stored even/odd-deinterleaved so every table
+    access is a plain slice (no in-kernel table relayouts).
+  * Interleaves are expressed as jnp.concatenate along the block axis
+    (layout-identity writes) — measured 3.3x cheaper than jnp.stack.
+  * The fused convolution kernel does its pointwise khat multiply in the
+    TRANSPOSED fine layout, so the two middle transposes cancel; khat is
+    shipped pre-relayouted (spectral_fine_layout).
 
     wv  = a*w - mulhi32(a, w_shoup)*q      (wrapping u32 arithmetic)
-    out = (u + wv, u - wv)  with one conditional subtract each
+    out = (u + wv, u - wv)  with lazy Harvey reductions (< 4q fwd, < 2q inv)
 
 Role equivalence: the Intel-HEXL-style fused NTT
 (reference src/intelExt.cpp, src/CModulus.cpp:228-345) re-done for the TPU.
@@ -50,6 +64,28 @@ def fine_layout(seg: np.ndarray, n: int) -> np.ndarray:
     return seg.reshape(P, A, g2).swapaxes(1, 2).reshape(P, m)
 
 
+def spectral_fine_layout(kh: np.ndarray) -> np.ndarray:
+    """Relayout a spectral vector [..., n] (NTT output / cat order) into the
+    transposed fine layout [..., LANE, A] the conv kernel's pointwise
+    multiply sees: out[..., l, a] == kh[..., a*LANE + l].  Kept 3D so the
+    kernel block needs no in-kernel (lane-splitting) reshape."""
+    n = kh.shape[-1]
+    A = n // LANE
+    lead = kh.shape[:-1]
+    return kh.reshape(*lead, A, LANE).swapaxes(-1, -2)
+
+
+def coarse3_layout(cat: np.ndarray, n: int) -> np.ndarray:
+    """Expand a concatenated coarse table [P, >=A] into the lane-broadcast
+    4D form [P, A, 1, LANE] the coarse sublane-butterfly kernel reads
+    (entry (c, 0, l) == cat[c] for every lane l)."""
+    A = max(n // LANE, 1)
+    P = cat.shape[0]
+    out = np.empty((P, A, 1, LANE), dtype=cat.dtype)
+    out[:] = cat[:, :A, None, None]
+    return out
+
+
 def _mulhi32(a, b):
     """High 32 bits of u32*u32 via 16-bit halves (wrapping u32 ops).
 
@@ -70,8 +106,7 @@ def _mulhi32(a, b):
 
 def _shoup_mul(a, w, wsh, q):
     hi = _mulhi32(a, wsh)
-    r = a * w - hi * q
-    return jnp.where(r >= q, r - q, r)
+    return _csub(a * w - hi * q, q)
 
 
 def _shoup_lazy(a, w, wsh, q):
@@ -80,180 +115,395 @@ def _shoup_lazy(a, w, wsh, q):
 
 
 def _csub(v, q):
+    # (min(v, v-q) would be 1 op but Mosaic has no arith.minui lowering)
     return jnp.where(v >= q, v - q, v)
 
 
-# Lazy-reduction butterflies (Harvey): forward keeps values < 4q, inverse
-# keeps values < 2q; full reduction happens once at kernel exit.
+# ---------------------------------------------------------------------------
+# stage scheduling: greedy radix-4 pairing with one optional radix-2 head
+# ---------------------------------------------------------------------------
 
-def _fwd_pass(x, q, R, n, tw_ref, tsh_ref, fine_ref, fsh_ref):
-    """All forward stages; input < 2q, output < 4q (lazy)."""
+def _schedule(start: int, stop: int):
+    """Split stages [start, stop) ascending into an optional single radix-2
+    stage followed by radix-4 composite pairs (s, s+1)."""
+    count = stop - start
+    single = start if count % 2 == 1 else None
+    first_pair = start + (count % 2)
+    pairs = [(s, s + 1) for s in range(first_pair, stop - 1, 2)]
+    return single, pairs
+
+
+# ---------------------------------------------------------------------------
+# coarse phase: butterflies along the A (sublane-side) axis of [R, A, LANE].
+# Tables tw3 are [R, A, 1, LANE] (lane-pre-expanded, eo-deinterleaved for
+# second-of-pair stages).  Forward: inputs < 4q, outputs < 4q (lazy).
+# ---------------------------------------------------------------------------
+
+def _fwd_r2_coarse3(x3, qq, R, A, tw3_ref, tsh3_ref, s):
+    m = 1 << s
+    halfA = A // (2 * m)
+    w = tw3_ref[:, m:2 * m]                            # [R, m, 1, LANE]
+    wsh = tsh3_ref[:, m:2 * m]
+    xr = x3.reshape(R, m, 2, halfA, LANE)
+    u = _csub(xr[:, :, 0], 2 * qq)                     # [R, m, halfA, LANE]
+    t = _shoup_lazy(xr[:, :, 1], w, wsh, qq)
+    return jnp.concatenate([u + t, u + 2 * qq - t],
+                           axis=2).reshape(R, A, LANE)
+
+
+def _fwd_r4_coarse3(x3, qq, R, A, tw3_ref, tsh3_ref, s):
+    m = 1 << s
+    halfA = A // (2 * m)
+    qA = halfA // 2
+    w1 = tw3_ref[:, m:2 * m]
+    w1s = tsh3_ref[:, m:2 * m]
+    xr = x3.reshape(R, m, 2, halfA, LANE)
+    u = _csub(xr[:, :, 0], 2 * qq)
+    t = _shoup_lazy(xr[:, :, 1], w1, w1s, qq)
+    a0 = (u + t).reshape(R, m, 2, qA, LANE)
+    a1 = (u + 2 * qq - t).reshape(R, m, 2, qA, LANE)
+    w2e = tw3_ref[:, 2 * m:3 * m]
+    w2es = tsh3_ref[:, 2 * m:3 * m]
+    w2o = tw3_ref[:, 3 * m:4 * m]
+    w2os = tsh3_ref[:, 3 * m:4 * m]
+    u0 = _csub(a0[:, :, 0], 2 * qq)
+    t0 = _shoup_lazy(a0[:, :, 1], w2e, w2es, qq)
+    u1 = _csub(a1[:, :, 0], 2 * qq)
+    t1 = _shoup_lazy(a1[:, :, 1], w2o, w2os, qq)
+    return jnp.concatenate([u0 + t0, u0 + 2 * qq - t0,
+                            u1 + t1, u1 + 2 * qq - t1],
+                           axis=2).reshape(R, A, LANE)
+
+
+def _fwd_coarse3(x3, q, R, A, tw3_ref, tsh3_ref, coarse):
+    qq = q[:, :, None, None]
+    single, pairs = _schedule(0, coarse)
+    if single is not None:
+        x3 = _fwd_r2_coarse3(x3, qq, R, A, tw3_ref, tsh3_ref, single)
+    for s, _ in pairs:
+        x3 = _fwd_r4_coarse3(x3, qq, R, A, tw3_ref, tsh3_ref, s)
+    return x3
+
+
+def _inv_r2_coarse3(x3, qq, R, A, itw3_ref, itsh3_ref, s):
+    m = 1 << s
+    halfA = A // (2 * m)
+    w = itw3_ref[:, m:2 * m]
+    wsh = itsh3_ref[:, m:2 * m]
+    xr = x3.reshape(R, m, 2, halfA, LANE)
+    a, b = xr[:, :, 0], xr[:, :, 1]
+    u = _csub(a + b, 2 * qq)
+    v = _shoup_lazy(a + 2 * qq - b, w, wsh, qq)
+    return jnp.concatenate([u, v], axis=2).reshape(R, A, LANE)
+
+
+def _inv_r4_coarse3(x3, qq, R, A, itw3_ref, itsh3_ref, s):
+    m = 1 << s
+    qA = A // (4 * m)
+    w1 = itw3_ref[:, m:2 * m]
+    w1s = itsh3_ref[:, m:2 * m]
+    w2e = itw3_ref[:, 2 * m:3 * m]
+    w2es = itsh3_ref[:, 2 * m:3 * m]
+    w2o = itw3_ref[:, 3 * m:4 * m]
+    w2os = itsh3_ref[:, 3 * m:4 * m]
+    xr = x3.reshape(R, m, 4, qA, LANE)
+    a0, b0 = xr[:, :, 0], xr[:, :, 1]
+    a1, b1 = xr[:, :, 2], xr[:, :, 3]
+    u0 = _csub(a0 + b0, 2 * qq)
+    v0 = _shoup_lazy(a0 + 2 * qq - b0, w2e, w2es, qq)
+    u1 = _csub(a1 + b1, 2 * qq)
+    v1 = _shoup_lazy(a1 + 2 * qq - b1, w2o, w2os, qq)
+    U0 = _csub(u0 + u1, 2 * qq)
+    U1 = _csub(v0 + v1, 2 * qq)
+    V0 = _shoup_lazy(u0 + 2 * qq - u1, w1, w1s, qq)
+    V1 = _shoup_lazy(v0 + 2 * qq - v1, w1, w1s, qq)
+    return jnp.concatenate([U0, U1, V0, V1],
+                           axis=2).reshape(R, A, LANE)
+
+
+def _inv_coarse3(x3, q, R, A, itw3_ref, itsh3_ref, coarse):
+    qq = q[:, :, None, None]
+    single, pairs = _schedule(0, coarse)
+    for s, _ in reversed(pairs):
+        x3 = _inv_r4_coarse3(x3, qq, R, A, itw3_ref, itsh3_ref, s)
+    if single is not None:
+        x3 = _inv_r2_coarse3(x3, qq, R, A, itw3_ref, itsh3_ref, single)
+    return x3
+
+
+# ---------------------------------------------------------------------------
+# fine phase: butterflies along the former-lane axis of [R, LANE, A]
+# ---------------------------------------------------------------------------
+
+def _fwd_r2_fine(xt, qq4, R, n, A, fine_ref, fsh_ref, s):
+    m = 1 << s
+    half = n // (2 * m)
+    g2 = LANE // (2 * half)
+    w = fine_ref[:, m:2 * m].reshape(R, g2, 1, A)
+    wsh = fsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
+    xr = xt.reshape(R, g2, 2, half, A)
+    u = _csub(xr[:, :, 0], 2 * qq4)
+    t = _shoup_lazy(xr[:, :, 1], w, wsh, qq4)
+    return jnp.concatenate([u + t, u + 2 * qq4 - t],
+                           axis=2).reshape(R, LANE, A)
+
+
+def _fwd_r4_fine(xt, qq4, R, n, A, fine_ref, fsh_ref, s):
+    """Fine stages s, s+1 fused.  Stage s+1 twiddles are stored even/odd-
+    deinterleaved in fine layout ([2m:3m] = blocks 2gi, [3m:4m] = 2gi+1)."""
+    m = 1 << s
+    half = n // (2 * m)
+    half2 = half // 2
+    g2 = LANE // (2 * half)
+    w1 = fine_ref[:, m:2 * m].reshape(R, g2, 1, A)
+    w1s = fsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
+    xr = xt.reshape(R, g2, 2, half, A)                 # [r, gi, j, h, a]
+    u = _csub(xr[:, :, 0], 2 * qq4)                    # [R, g2, half, A]
+    t = _shoup_lazy(xr[:, :, 1], w1, w1s, qq4)
+    a0 = (u + t).reshape(R, g2, 2, half2, A)
+    a1 = (u + 2 * qq4 - t).reshape(R, g2, 2, half2, A)
+    w2e = fine_ref[:, 2 * m:3 * m].reshape(R, g2, 1, A)
+    w2es = fsh_ref[:, 2 * m:3 * m].reshape(R, g2, 1, A)
+    w2o = fine_ref[:, 3 * m:4 * m].reshape(R, g2, 1, A)
+    w2os = fsh_ref[:, 3 * m:4 * m].reshape(R, g2, 1, A)
+    u0 = _csub(a0[:, :, 0], 2 * qq4)
+    t0 = _shoup_lazy(a0[:, :, 1], w2e, w2es, qq4)
+    u1 = _csub(a1[:, :, 0], 2 * qq4)
+    t1 = _shoup_lazy(a1[:, :, 1], w2o, w2os, qq4)
+    return jnp.concatenate([u0 + t0, u0 + 2 * qq4 - t0,
+                            u1 + t1, u1 + 2 * qq4 - t1],
+                           axis=2).reshape(R, LANE, A)
+
+
+def _fwd_fine(xt, q, R, n, fine_ref, fsh_ref, coarse, stages):
+    A = n // LANE
+    qq4 = q[:, :, None, None]
+    single, pairs = _schedule(coarse, stages)
+    if single is not None:
+        xt = _fwd_r2_fine(xt, qq4, R, n, A, fine_ref, fsh_ref, single)
+    for s, _ in pairs:
+        xt = _fwd_r4_fine(xt, qq4, R, n, A, fine_ref, fsh_ref, s)
+    return xt
+
+
+def _inv_r2_fine(xt, qq4, R, n, A, ifine_ref, ifsh_ref, s):
+    m = 1 << s
+    half = n // (2 * m)
+    g2 = LANE // (2 * half)
+    w = ifine_ref[:, m:2 * m].reshape(R, g2, 1, A)
+    wsh = ifsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
+    xr = xt.reshape(R, g2, 2, half, A)
+    a, b = xr[:, :, 0], xr[:, :, 1]
+    u = _csub(a + b, 2 * qq4)
+    v = _shoup_lazy(a + 2 * qq4 - b, w, wsh, qq4)
+    return jnp.concatenate([u, v], axis=2).reshape(R, LANE, A)
+
+
+def _inv_r4_fine(xt, qq4, R, n, A, ifine_ref, ifsh_ref, s):
+    """Inverse stages s+1 then s fused (mirror of _fwd_r4_fine)."""
+    m = 1 << s
+    half = n // (2 * m)
+    half2 = half // 2
+    g2 = LANE // (2 * half)
+    w1 = ifine_ref[:, m:2 * m].reshape(R, g2, 1, A)
+    w1s = ifsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
+    w2e = ifine_ref[:, 2 * m:3 * m].reshape(R, g2, 1, A)
+    w2es = ifsh_ref[:, 2 * m:3 * m].reshape(R, g2, 1, A)
+    w2o = ifine_ref[:, 3 * m:4 * m].reshape(R, g2, 1, A)
+    w2os = ifsh_ref[:, 3 * m:4 * m].reshape(R, g2, 1, A)
+    xr = xt.reshape(R, g2, 4, half2, A)                # blocks 4gi + 2j + k
+    a0, b0 = xr[:, :, 0], xr[:, :, 1]
+    a1, b1 = xr[:, :, 2], xr[:, :, 3]
+    u0 = _csub(a0 + b0, 2 * qq4)
+    v0 = _shoup_lazy(a0 + 2 * qq4 - b0, w2e, w2es, qq4)
+    u1 = _csub(a1 + b1, 2 * qq4)
+    v1 = _shoup_lazy(a1 + 2 * qq4 - b1, w2o, w2os, qq4)
+    U0 = _csub(u0 + u1, 2 * qq4)
+    U1 = _csub(v0 + v1, 2 * qq4)
+    V0 = _shoup_lazy(u0 + 2 * qq4 - u1, w1, w1s, qq4)
+    V1 = _shoup_lazy(v0 + 2 * qq4 - v1, w1, w1s, qq4)
+    return jnp.concatenate([U0, U1, V0, V1],
+                           axis=2).reshape(R, LANE, A)
+
+
+def _inv_fine(xt, q, R, n, ifine_ref, ifsh_ref, coarse, stages):
+    A = n // LANE
+    qq4 = q[:, :, None, None]
+    single, pairs = _schedule(coarse, stages)
+    for s, _ in reversed(pairs):
+        xt = _inv_r4_fine(xt, qq4, R, n, A, ifine_ref, ifsh_ref, s)
+    if single is not None:
+        xt = _inv_r2_fine(xt, qq4, R, n, A, ifine_ref, ifsh_ref, single)
+    return xt
+
+
+# ---------------------------------------------------------------------------
+# full passes
+# ---------------------------------------------------------------------------
+
+def _fwd_pass(x, q, R, n, tw3_ref, tsh3_ref, fine_ref, fsh_ref):
+    """All forward stages; input < 2q, output < 4q (lazy), natural order."""
     stages = n.bit_length() - 1
     A = n // LANE
     coarse = stages - 7
-    for s in range(coarse):
-        m = 1 << s
-        half = n // (2 * m)
-        w = tw_ref[:, m:2 * m][:, :, None]
-        wsh = tsh_ref[:, m:2 * m][:, :, None]
-        qq = q[:, :, None]
-        xr = x.reshape(R, m, 2, half)
-        u = _csub(xr[:, :, 0, :], 2 * qq)
-        t = _shoup_lazy(xr[:, :, 1, :], w, wsh, qq)
-        x = jnp.stack([u + t, u + 2 * qq - t], axis=2).reshape(R, n)
-    xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)     # [R, LANE, A]
-    for s in range(coarse, stages):
-        m = 1 << s
-        half = n // (2 * m)
-        g2 = LANE // (2 * half)
-        w = fine_ref[:, m:2 * m].reshape(R, g2, 1, A)
-        wsh = fsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
-        qq = q[:, :, None, None]
-        xr = xt.reshape(R, g2, 2, half, A)
-        u = _csub(xr[:, :, 0], 2 * qq)
-        t = _shoup_lazy(xr[:, :, 1], w, wsh, qq)
-        xt = jnp.stack([u + t, u + 2 * qq - t], axis=2).reshape(R, LANE, A)
+    x3 = _fwd_coarse3(x.reshape(R, A, LANE), q, R, A, tw3_ref, tsh3_ref,
+                      coarse)
+    xt = jnp.swapaxes(x3, 1, 2)                        # [R, LANE, A]
+    xt = _fwd_fine(xt, q, R, n, fine_ref, fsh_ref, coarse, stages)
     return jnp.swapaxes(xt, 1, 2).reshape(R, n)
 
 
-def _inv_pass(x, q, R, n, itw_ref, itsh_ref, ifine_ref, ifsh_ref):
+def _inv_pass(x, q, R, n, itw3_ref, itsh3_ref, ifine_ref, ifsh_ref):
     """All inverse stages + n^{-1}; input < 2q, output < 2q (lazy)."""
     stages = n.bit_length() - 1
     A = n // LANE
     coarse = stages - 7
     xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)
-    for s in reversed(range(coarse, stages)):
-        m = 1 << s
-        half = n // (2 * m)
-        g2 = LANE // (2 * half)
-        w = ifine_ref[:, m:2 * m].reshape(R, g2, 1, A)
-        wsh = ifsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
-        qq = q[:, :, None, None]
-        xr = xt.reshape(R, g2, 2, half, A)
-        a, b = xr[:, :, 0], xr[:, :, 1]
-        u = _csub(a + b, 2 * qq)
-        v = _shoup_lazy(a + 2 * qq - b, w, wsh, qq)
-        xt = jnp.stack([u, v], axis=2).reshape(R, LANE, A)
-    x = jnp.swapaxes(xt, 1, 2).reshape(R, n)
-    for s in reversed(range(coarse)):
-        m = 1 << s
-        half = n // (2 * m)
-        w = itw_ref[:, m:2 * m][:, :, None]
-        wsh = itsh_ref[:, m:2 * m][:, :, None]
-        qq = q[:, :, None]
-        xr = x.reshape(R, m, 2, half)
-        a, b = xr[:, :, 0, :], xr[:, :, 1, :]
-        u = _csub(a + b, 2 * qq)
-        v = _shoup_lazy(a + 2 * qq - b, w, wsh, qq)
-        x = jnp.stack([u, v], axis=2).reshape(R, n)
-    return _shoup_lazy(x, itw_ref[:, 0:1], itsh_ref[:, 0:1], q)  # * n^{-1}
+    xt = _inv_fine(xt, q, R, n, ifine_ref, ifsh_ref, coarse, stages)
+    x3 = jnp.swapaxes(xt, 1, 2)
+    x3 = _inv_coarse3(x3, q, R, A, itw3_ref, itsh3_ref, coarse)
+    # * n^{-1} (stored at entry 0 of the expanded inverse coarse table)
+    x3 = _shoup_lazy(x3, itw3_ref[:, 0], itsh3_ref[:, 0], q[:, :, None])
+    return x3.reshape(R, n)
 
 
-def _ntt_kernel(x_ref, tw_ref, tsh_ref, fine_ref, fsh_ref, q_ref, o_ref, *,
+def _ntt_kernel(x_ref, tw3_ref, tsh3_ref, fine_ref, fsh_ref, q_ref, o_ref, *,
                 n: int, inverse: bool):
     x = x_ref[:]                       # [R, n], fully reduced on entry
     q = q_ref[:]                       # [R, 1]
     R = x.shape[0]
     if not inverse:
-        x = _fwd_pass(x, q, R, n, tw_ref, tsh_ref, fine_ref, fsh_ref)
+        x = _fwd_pass(x, q, R, n, tw3_ref, tsh3_ref, fine_ref, fsh_ref)
         x = _csub(_csub(x, 2 * q), q)
     else:
-        x = _inv_pass(x, q, R, n, tw_ref, tsh_ref, fine_ref, fsh_ref)
+        x = _inv_pass(x, q, R, n, tw3_ref, tsh3_ref, fine_ref, fsh_ref)
         x = _csub(x, q)
     o_ref[:] = x
 
 
 @functools.partial(jax.jit, static_argnames=("n", "inverse", "interpret"))
-def pallas_ntt(x, tw_cat, tsh_cat, fine_cat, fsh_cat, q, *, n: int,
+def pallas_ntt(x, tw3, tsh3, fine_cat, fsh_cat, q, *, n: int,
                inverse: bool, interpret: bool = False):
     """x: [P, n] uint32 (P multiple of ROW_BLOCK, n >= 2^8 power of two).
-    The coarse stages only read entries [0, n/LANE) of the cat tables, so
-    only that prefix is shipped to VMEM."""
+    tw3/tsh3: [P, A, 1, LANE] coarse3_layout tables (fwd or inv per
+    direction); fine_cat/fsh_cat: [P, n] fine-layout tables."""
     P = x.shape[0]
     assert P % ROW_BLOCK == 0, P
     grid = (P // ROW_BLOCK,)
-    # coarse tables only need entries [0, n/LANE), but Mosaic blocks must be
-    # >= one full 128-lane tile wide (n=8192 has n/LANE=64)
-    ncoarse = max(n // LANE, LANE)
-    tw_c = tw_cat[:, :ncoarse]
-    tsh_c = tsh_cat[:, :ncoarse]
+    A = max(n // LANE, 1)
     kern = functools.partial(_ntt_kernel, n=n, inverse=inverse)
     zero = np.int32(0)   # keep index_map outputs i32 under jax_enable_x64
     bs = lambda w: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, zero),
                                 memory_space=pltpu.VMEM)
+    bs4 = pl.BlockSpec((ROW_BLOCK, A, 1, LANE),
+                       lambda i: (i, zero, zero, zero),
+                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bs(n), bs(ncoarse), bs(ncoarse), bs(n), bs(n), bs(1)],
+        in_specs=[bs(n), bs4, bs4, bs(n), bs(n), bs(1)],
         out_specs=bs(n),
         out_shape=jax.ShapeDtypeStruct((P, n), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, tw_c, tsh_c, fine_cat, fsh_cat, q)
+    )(x, tw3, tsh3, fine_cat, fsh_cat, q)
 
 
-def _conv_kernel(x_ref, tw_ref, tsh_ref, fine_ref, fsh_ref,
-                 itw_ref, itsh_ref, ifine_ref, ifsh_ref,
-                 kh_ref, khsh_ref, q_ref, o_ref, *, n: int):
+def _conv_kernel(x_ref, tw3_ref, tsh3_ref, fine_ref, fsh_ref,
+                 itw3_ref, itsh3_ref, ifine_ref, ifsh_ref,
+                 khf_ref, khfsh_ref, q_ref, o_ref, *, n: int):
     """Cyclic convolution with a precomputed spectral kernel, fully fused:
     iNTT(NTT(x) ⊙ khat) without leaving VMEM (the Bluestein hot path).
-    Lazy reductions throughout: fwd < 4q -> khat shoup (any u32) < 2q ->
-    inverse < 2q -> one final csub."""
+    The pointwise multiply happens in the TRANSPOSED fine layout (khat is
+    shipped in spectral_fine_layout order), so the two middle four-step
+    transposes cancel.  Lazy reductions throughout: fwd < 4q -> khat shoup
+    (any u32) < 2q -> inverse < 2q -> one final csub."""
     x = x_ref[:]
     q = q_ref[:]
     R = x.shape[0]
-    x = _fwd_pass(x, q, R, n, tw_ref, tsh_ref, fine_ref, fsh_ref)
-    x = _shoup_lazy(x, kh_ref[:], khsh_ref[:], q)
-    x = _inv_pass(x, q, R, n, itw_ref, itsh_ref, ifine_ref, ifsh_ref)
-    o_ref[:] = _csub(x, q)
+    stages = n.bit_length() - 1
+    A = n // LANE
+    coarse = stages - 7
+    x3 = _fwd_coarse3(x.reshape(R, A, LANE), q, R, A, tw3_ref, tsh3_ref,
+                      coarse)
+    xt = jnp.swapaxes(x3, 1, 2)                        # [R, LANE, A]
+    xt = _fwd_fine(xt, q, R, n, fine_ref, fsh_ref, coarse, stages)
+    xt = _shoup_lazy(xt, khf_ref[:], khfsh_ref[:], q[:, :, None])
+    xt = _inv_fine(xt, q, R, n, ifine_ref, ifsh_ref, coarse, stages)
+    x3 = jnp.swapaxes(xt, 1, 2)
+    x3 = _inv_coarse3(x3, q, R, A, itw3_ref, itsh3_ref, coarse)
+    x3 = _shoup_lazy(x3, itw3_ref[:, 0], itsh3_ref[:, 0],
+                     q[:, :, None])                    # * n^{-1}
+    o_ref[:] = _csub(x3.reshape(R, n), q)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def pallas_conv(x, tw, tsh, fine, fsh, itw, itsh, ifine, ifsh, kh, khsh, q,
-                *, n: int, interpret: bool = False):
+def pallas_conv(x, tw3, tsh3, fine, fsh, itw3, itsh3, ifine, ifsh,
+                khf, khfsh, q, *, n: int, interpret: bool = False):
+    """khf/khfsh must be in spectral_fine_layout order: [P, LANE, A]."""
     P = x.shape[0]
     assert P % ROW_BLOCK == 0
     grid = (P // ROW_BLOCK,)
-    ncoarse = max(n // LANE, LANE)
+    A = max(n // LANE, 1)
     kern = functools.partial(_conv_kernel, n=n)
     zero = np.int32(0)
     bs = lambda w: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, zero),
                                 memory_space=pltpu.VMEM)
+    bs3 = pl.BlockSpec((ROW_BLOCK, LANE, A), lambda i: (i, zero, zero),
+                       memory_space=pltpu.VMEM)
+    bs4 = pl.BlockSpec((ROW_BLOCK, A, 1, LANE),
+                       lambda i: (i, zero, zero, zero),
+                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bs(n), bs(ncoarse), bs(ncoarse), bs(n), bs(n),
-                  bs(ncoarse), bs(ncoarse), bs(n), bs(n),
-                  bs(n), bs(n), bs(1)],
+        in_specs=[bs(n), bs4, bs4, bs(n), bs(n),
+                  bs4, bs4, bs(n), bs(n),
+                  bs3, bs3, bs(1)],
         out_specs=bs(n),
         out_shape=jax.ShapeDtypeStruct((P, n), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, tw[:, :ncoarse], tsh[:, :ncoarse], fine, fsh,
-      itw[:, :ncoarse], itsh[:, :ncoarse], ifine, ifsh, kh, khsh, q)
+    )(x, tw3, tsh3, fine, fsh, itw3, itsh3, ifine, ifsh, khf, khfsh, q)
 
 
-def apply_conv(x, tree, kh, khsh, q, interpret: bool = False):
-    """Fused spectral convolution; tables from an ops.ntt tree; kh/khsh/q
-    broadcastable to x."""
+def apply_conv(x, tree, kh, khsh, q, interpret: bool = False,
+               kh_layout: str = "cat"):
+    """Fused spectral convolution; tables from an ops.ntt tree; q
+    broadcastable to x.  kh_layout="fine" means kh/khsh are already in
+    spectral_fine_layout order [..., LANE, A] (the BluesteinTables fast
+    path); "cat" inputs are [..., n] and relayouted here (one extra XLA
+    transpose per call)."""
     n = x.shape[-1]
     lead = x.shape[:-1]
+    A = n // LANE
+    if kh_layout == "cat":
+        kh = jnp.swapaxes(kh.reshape(*kh.shape[:-1], A, LANE), -1, -2)
+        khsh = jnp.swapaxes(khsh.reshape(*khsh.shape[:-1], A, LANE), -1, -2)
 
     def prep(a, w):
         return jnp.broadcast_to(a, lead + (w,)).reshape(-1, w)
 
+    def prep3(a):
+        return jnp.broadcast_to(a, lead + (LANE, A)).reshape(-1, LANE, A)
+
+    def prep4(a):
+        return jnp.broadcast_to(a, lead + (A, 1, LANE)) \
+                  .reshape(-1, A, 1, LANE)
+
     xf = x.reshape(-1, n)
-    args = [prep(tree["tw_cat"], n), prep(tree["tw_cat_sh"], n),
+    args = [prep4(tree["tw_cat3"]), prep4(tree["tw_cat3_sh"]),
             prep(tree["tw_fine"], n), prep(tree["tw_fine_sh"], n),
-            prep(tree["itw_cat"], n), prep(tree["itw_cat_sh"], n),
+            prep4(tree["itw_cat3"]), prep4(tree["itw_cat3_sh"]),
             prep(tree["itw_fine"], n), prep(tree["itw_fine_sh"], n),
-            prep(kh, n), prep(khsh, n), prep(q, 1)]
+            prep3(kh), prep3(khsh), prep(q, 1)]
     P = xf.shape[0]
     pad = (-P) % ROW_BLOCK
     if pad:
-        ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)), mode="edge")
+        ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)) + ((0, 0),) *
+                                (a.ndim - 2), mode="edge")
         xf = ext(xf)
         args = [ext(a) for a in args]
     out = pallas_conv(xf, *args, n=n, interpret=interpret)
@@ -266,29 +516,37 @@ def apply_conv(x, tree, kh, khsh, q, interpret: bool = False):
 # wrapper: flatten leading dims into rows, pad to the row block
 # ---------------------------------------------------------------------------
 
-def apply_ntt(x, tw_cat, tsh_cat, fine_cat, fsh_cat, q, inverse: bool,
-              interpret: bool = False):
-    """x: [..., n]; tables broadcastable to x.shape; q to x.shape[:-1]+(1,)."""
+def apply_ntt(x, tree, q, inverse: bool, interpret: bool = False):
+    """x: [..., n]; tree supplies coarse3/fine tables (fwd or inv picked by
+    `inverse`); q broadcastable to x.shape[:-1]+(1,)."""
     n = x.shape[-1]
     lead = x.shape[:-1]
+    A = max(n // LANE, 1)
+    if inverse:
+        tw3, tsh3 = tree["itw_cat3"], tree["itw_cat3_sh"]
+        fine, fsh = tree["itw_fine"], tree["itw_fine_sh"]
+    else:
+        tw3, tsh3 = tree["tw_cat3"], tree["tw_cat3_sh"]
+        fine, fsh = tree["tw_fine"], tree["tw_fine_sh"]
 
     def prep(a, width):
         return jnp.broadcast_to(a, lead + (width,)).reshape(-1, width)
 
+    def prep4(a):
+        return jnp.broadcast_to(a, lead + (A, 1, LANE)) \
+                  .reshape(-1, A, 1, LANE)
+
     xf = x.reshape(-1, n)
-    full = prep(tw_cat, n)
-    fullsh = prep(tsh_cat, n)
-    ffine = prep(fine_cat, n)
-    ffsh = prep(fsh_cat, n)
-    fullq = prep(q, 1)
+    args = [prep4(tw3), prep4(tsh3), prep(fine, n), prep(fsh, n),
+            prep(q, 1)]
     P = xf.shape[0]
     pad = (-P) % ROW_BLOCK
     if pad:
-        ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)), mode="edge")
-        xf, full, fullsh, ffine, ffsh, fullq = map(
-            ext, (xf, full, fullsh, ffine, ffsh, fullq))
-    out = pallas_ntt(xf, full, fullsh, ffine, ffsh, fullq, n=n,
-                     inverse=inverse, interpret=interpret)
+        ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)) + ((0, 0),) *
+                                (a.ndim - 2), mode="edge")
+        xf = ext(xf)
+        args = [ext(a) for a in args]
+    out = pallas_ntt(xf, *args, n=n, inverse=inverse, interpret=interpret)
     if pad:
         out = out[:P]
     return out.reshape(*lead, n)

@@ -13,15 +13,11 @@ from helib_tpu.ops.pallas_ntt import apply_ntt
 
 
 def _fwd(x, tree):
-    return apply_ntt(x, tree["tw_cat"], tree["tw_cat_sh"], tree["tw_fine"],
-                     tree["tw_fine_sh"], tree["q"], inverse=False,
-                     interpret=True)
+    return apply_ntt(x, tree, tree["q"], inverse=False, interpret=True)
 
 
 def _inv(x, tree):
-    return apply_ntt(x, tree["itw_cat"], tree["itw_cat_sh"],
-                     tree["itw_fine"], tree["itw_fine_sh"], tree["q"],
-                     inverse=True, interpret=True)
+    return apply_ntt(x, tree, tree["q"], inverse=True, interpret=True)
 
 
 @pytest.mark.parametrize("n,negacyclic", [(256, True), (1024, True),
