@@ -21,16 +21,17 @@ def main():
     ctx = Context(m=8009, p=2, r=1, bits=380, c=3, scheme="bgv")
     sk = SecKey(ctx, seed=3)
     print(json.dumps({"setup_s": time.time()-t0}), flush=True)
+    from helib_tpu.jitutil import lifted_jit
     for B in (1, 16):
         if B == 1:
             fn, ex = make_mult_relin(ctx, sk)
         else:
             fn, ex = make_batched_mult_relin(ctx, sk, B)
-        @jax.jit
-        def f(a, b, c, d):
+        def chain(a, b, c, d):
             for _ in range(4):
                 a, b = fn(a, b, c, d)
             return a, b
+        f = lifted_jit(chain, *ex)
         t0 = time.time()
         r = f(*ex); jax.block_until_ready(r)
         compile_s = time.time() - t0

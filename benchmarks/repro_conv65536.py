@@ -44,20 +44,21 @@ def main():
 
     # broadcast tables to [rows, ...]: use prime index per row
     pidx = np.arange(rows) % 3
-    t = {k: (jnp.asarray(np.asarray(tree[k])[pidx]) if k not in ("tw", "tw_sh", "itw", "itw_sh", "ninv", "ninv_sh", "q") else tree[k])
-         for k in tree}
     q = jnp.asarray(qrow[:, None])
-    tsel = {"tw_cat": t["tw_cat"], "tw_cat_sh": t["tw_cat_sh"],
-            "itw_cat": t["itw_cat"], "itw_cat_sh": t["itw_cat_sh"],
-            "tw_fine": t["tw_fine"], "tw_fine_sh": t["tw_fine_sh"],
-            "itw_fine": t["itw_fine"], "itw_fine_sh": t["itw_fine_sh"]}
+    tsel = {k: jnp.asarray(np.asarray(tree[k])[pidx])
+            for k in ("tw_cat3", "tw_cat3_sh", "itw_cat3", "itw_cat3_sh",
+                      "tw_fine", "tw_fine_sh", "itw_fine", "itw_fine_sh")}
 
-    kh_d = jnp.asarray(kh)
-    khsh_d = jnp.asarray(khsh)
+    from helib_tpu.ops.pallas_ntt import spectral_fine_layout
+    kh_d = jnp.asarray(spectral_fine_layout(kh))
+    khsh_d = jnp.asarray(spectral_fine_layout(khsh))
 
     @jax.jit
+    def step_impl(v, tsel, kh_d, khsh_d, q):
+        return apply_conv(v, tsel, kh_d, khsh_d, q, kh_layout="fine")
+
     def step(v):
-        return apply_conv(v, tsel, kh_d, khsh_d, q)
+        return step_impl(v, tsel, kh_d, khsh_d, q)
 
     # reference value from the staged jnp path (once)
     x_d = jnp.asarray(x0)
@@ -72,7 +73,7 @@ def main():
     itwsl = [jnp.asarray(np.asarray(a)[pidx]) for a in tree["itw_sh"]]
     tree_b.update(tw=twl, tw_sh=twsl, itw=itwl, itw_sh=itwsl)
     A = ntt_mod.ntt_pow2_fwd(x_d, tree_b)
-    P = mul_mod_shoup(A, kh_d, khsh_d, q)
+    P = mul_mod_shoup(A, jnp.asarray(kh), jnp.asarray(khsh), q)
     ref = np.asarray(ntt_mod.ntt_pow2_inv(P, tree_b))
     ntt_mod.USE_PALLAS = None
     ok = (y0 == ref).all()

@@ -268,7 +268,8 @@ class Context:
         key = ("nttjit", rows, inverse, jnp.shape(x))
         fn = self._dev_cache.get(key)
         if fn is None:
-            fn = jax.jit(lambda v: self._ntt_impl(v, rows, inverse))
+            from .jitutil import lifted_jit
+            fn = lifted_jit(lambda v: self._ntt_impl(v, rows, inverse), x)
             self._dev_cache[key] = fn
         return fn(x)
 

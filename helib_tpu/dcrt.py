@@ -316,14 +316,19 @@ _JIT_CACHE: dict = {}
 def _jit_call(key, builder, *args):
     """Dispatch a cached jit-compiled program for a pure tensor op keyed by
     its static configuration; falls back to eager composition when already
-    inside a trace (hot compound ops otherwise pay per-primitive dispatch)."""
+    inside a trace (hot compound ops otherwise pay per-primitive dispatch).
+
+    Compiled via jitutil.lifted_jit so closed-over tables (NTT twiddles,
+    digit/mod-down constants) become arguments instead of HLO constants —
+    see jitutil for why (compile-payload size over the remote tunnel)."""
     import jax
     import jax.core
     if any(isinstance(a, jax.core.Tracer) for a in args):
         return builder()(*args)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = _JIT_CACHE[key] = jax.jit(builder())
+        from .jitutil import lifted_jit
+        fn = _JIT_CACHE[key] = lifted_jit(builder(), *args)
     return fn(*args)
 
 
