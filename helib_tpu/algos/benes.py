@@ -18,6 +18,7 @@ the same level, so each level stores a {delta: mask} dict.
 from __future__ import annotations
 
 import numpy as np
+from ..exceptions import assert_true
 
 
 class BenesNetwork:
@@ -25,7 +26,7 @@ class BenesNetwork:
         """perm: out[j] = in[perm[j]]."""
         perm = np.asarray(perm, dtype=np.int64)
         n = len(perm)
-        assert sorted(perm.tolist()) == list(range(n))
+        assert_true(sorted(perm.tolist()) == list(range(n)), 'invariant: sorted(perm.tolist()) == list(range(n))')
         self.n = n
         depth = self._depth(n)
         self.nlevels = max(2 * depth - 1, 1)
@@ -90,7 +91,7 @@ class BenesNetwork:
             while work:
                 v, cv = work.pop()
                 if color[v] != -1:
-                    assert color[v] == cv, "Benes coloring conflict"
+                    assert_true(color[v] == cv, "Benes coloring conflict")
                     continue
                 color[v] = cv
                 p = in_partner(v)

@@ -7,12 +7,13 @@ mults are needed (reference eqtesting.cpp:48)."""
 from __future__ import annotations
 
 from .polyeval import ctxt_power
+from ..exceptions import assert_true
 
 
 def map_to_01(ea, ctxt, sk):
     ctx = ea.ctx
     p, d = ctx.p, ea.d
-    assert ctx.r == 1, "mapTo01 requires plaintext space p (r=1)"
+    assert_true(ctx.r == 1, "mapTo01 requires plaintext space p (r=1)")
     out = ctxt
     if p > 2:
         out = ctxt_power(out, p - 1, sk)     # x^{p-1}

@@ -12,6 +12,7 @@ import numpy as np
 
 from ..nt.numbth import inv_mod
 from .polyeval import poly_eval
+from ..exceptions import assert_true
 
 
 def build_digit_polynomial(p: int, e: int) -> list[int]:
@@ -83,7 +84,7 @@ def extract_digits(ctxt, sk, r: int | None = None) -> list:
 def _int_log(v: int, p: int) -> int:
     r = 0
     while v > 1:
-        assert v % p == 0
+        assert_true(v % p == 0, 'invariant: v % p == 0')
         v //= p
         r += 1
     return r
@@ -139,7 +140,7 @@ def compute_a_vals(p: int, e: int) -> list[int]:
         m_fac = m_fac * m % p2e
         c = poly[m]
         d = gcd(m_fac, p2e)
-        assert d != 0 and d <= pe and c % d == 0, "cannot divide"
+        assert_true(d != 0 and d <= pe and c % d == 0, "cannot divide")
         mfd = (m_fac // d) % pe
         cd = (c // d) % pe
         a[m] = cd * inv_mod(mfd, pe) % pe

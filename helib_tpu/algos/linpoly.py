@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..nt import polymod as pm
+from ..exceptions import assert_true
 
 
 def _e_mul(a, b, G, pr):
@@ -50,7 +51,7 @@ def lin_poly_coeffs(ea, images: list) -> list[np.ndarray]:
             if v and any(x % p for x in v):     # unit in GR(p^r, d)
                 piv = row
                 break
-        assert piv is not None, "singular linearized-poly system"
+        assert_true(piv is not None, "singular linearized-poly system")
         Arows[col], Arows[piv] = Arows[piv], Arows[col]
         rhs[col], rhs[piv] = rhs[piv], rhs[col]
         inv = pm.poly_inv_mod(Arows[col][col], G, p, ea.r)

@@ -9,6 +9,7 @@ permutation of a non-rectangular hypercube into column permutations
 from __future__ import annotations
 
 from collections import deque
+from ..exceptions import assert_true
 
 
 def max_bipartite_matching(n_left: int, n_right: int,
@@ -88,7 +89,7 @@ def perm_to_column_perms(perm, rows: int, cols: int):
     import numpy as np
     n = rows * cols
     perm = np.asarray(perm)
-    assert len(perm) == n
+    assert_true(len(perm) == n, 'invariant: len(perm) == n')
     # item at source cell s=(r,c) must reach dest cell d; build, for each of
     # `rows` rounds, a system of distinct representatives assigning one item
     # per source column to each dest column.
@@ -106,7 +107,7 @@ def perm_to_column_perms(perm, rows: int, cols: int):
             for (src, dst) in remaining[c]:
                 edges.append((c, dst % cols))
         match = max_bipartite_matching(cols, cols, list(set(edges)))
-        assert len(match) == cols, "SDR must exist (Hall)"
+        assert_true(len(match) == cols, "SDR must exist (Hall)")
         for c, dc in match.items():
             # pick one item in column c going to dest column dc
             k = next(i for i, (s, d) in enumerate(remaining[c])

@@ -34,6 +34,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .matching import perm_to_column_perms
+from ..exceptions import assert_true
 
 INF = float("inf")
 
@@ -315,7 +316,7 @@ class PermIndepPrecomp:
                 expanded.append((dim, leaf))
         mid = [t for t in expanded if t[1].mid == 1]
         rest = [t for t in expanded if t[1].mid != 1]
-        assert len(mid) == 1
+        assert_true(len(mid) == 1, 'invariant: len(mid) == 1')
         self.expanded = rest + mid
         self.depth = sum(
             (len(leaf.groups1) if leaf.mid else
@@ -335,7 +336,7 @@ class PermPrecomp:
         ea = pip.ea
         n = ea.nslots
         perm = np.asarray(perm, dtype=np.int64)
-        assert sorted(perm.tolist()) == list(range(n)), "not a permutation"
+        assert_true(sorted(perm.tolist()) == list(range(n)), "not a permutation")
         self.perm = perm
         pal = ea.ctx.pal
         # slot -> expanded digits
@@ -388,8 +389,7 @@ class PermPrecomp:
         post = np.arange(N)
         for b0 in range(0, N, blk):
             local = perm[b0:b0 + blk] - b0
-            assert local.min() >= 0 and local.max() < blk, \
-                "perm crosses a fixed prefix block"
+            assert_true(local.min() >= 0 and local.max() < blk, "perm crosses a fixed prefix block")
             p1, p2, p3 = perm_to_column_perms(local, rows, cols)
             pre[b0:b0 + blk] = p1 + b0
             mid[b0:b0 + blk] = p2 + b0
@@ -443,7 +443,7 @@ class PermPrecomp:
             pi = np.empty(f, dtype=np.int64)
             for c in range(f):
                 src_e = colperm[eidx[c]]
-                assert (src_e - base) % stride == 0
+                assert_true((src_e - base) % stride == 0, 'invariant: (src_e - base) % stride == 0')
                 pi[c] = (src_e - base) // stride
             if np.array_equal(pi, id_local):
                 bn_levels = [dict() for _ in range(nlev)]

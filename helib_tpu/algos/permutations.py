@@ -15,6 +15,7 @@ for depth) is a planned optimization on the same API.
 from __future__ import annotations
 
 import numpy as np
+from ..exceptions import assert_true
 
 
 class PermPrecomp:
@@ -25,7 +26,7 @@ class PermPrecomp:
         self.ea = ea
         perm = np.asarray(perm, dtype=np.int64)
         n = ea.nslots
-        assert sorted(perm.tolist()) == list(range(n)), "not a permutation"
+        assert_true(sorted(perm.tolist()) == list(range(n)), "not a permutation")
         self.perm = perm
         # group by displacement: content of slot i moves to slot j with
         # perm[j] = i, i.e. displacement d = (j - i) mod n

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 
 from .sums import total_sums
+from ..exceptions import assert_true
 
 
 class ReplicateHandler:
@@ -86,7 +87,7 @@ def _fill_period(ea, ctxt, size: int, half: int, offset: int, sk):
         if b:
             out = picked.copy().add(ea.rotate(out.copy(), half, sk))
             e += 1
-    assert e == count
+    assert_true(e == count, 'invariant: e == count')
     return out
 
 

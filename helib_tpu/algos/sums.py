@@ -6,6 +6,7 @@ TPU-native equivalent of reference totalSums/runningSums
 from __future__ import annotations
 
 import numpy as np
+from ..exceptions import assert_true
 
 
 def total_sums(ea, ctxt, sk):
@@ -25,7 +26,7 @@ def total_sums(ea, ctxt, sk):
         if b:
             out = ctxt.copy().add(_rot(ea, out, 1, sk))
             e += 1
-    assert e == n
+    assert_true(e == n, 'invariant: e == n')
     return out
 
 

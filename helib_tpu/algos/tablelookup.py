@@ -8,6 +8,7 @@ Requires p=2 (bits)."""
 from __future__ import annotations
 
 import numpy as np
+from ..exceptions import assert_true
 
 
 def _one_minus(ct):
@@ -40,7 +41,7 @@ def table_lookup(ea, bits: list, table: list, sk):
     """Select the table entry indexed by the encrypted bits; table entries
     are plaintext slot-vectors (reference tableLookup, tableLookup.cpp:83)."""
     sel = compute_all_products(ea, bits, sk)
-    assert len(table) <= len(sel)
+    assert_true(len(table) <= len(sel), 'invariant: len(table) <= len(sel)')
     acc = None
     for idx, entry in enumerate(table):
         entry = np.atleast_1d(entry)

@@ -97,6 +97,15 @@ class EncryptedArrayCKKS:
             timing.stats_update("CKKS_encode_ratio", ratio)
         return rounded, scale, max(mag, 2.0 ** -40), err
 
+    def encode_ptxt(self, slots, scale: int | None = None):
+        """First-class scheme-tagged CKKS encoding (reference
+        EncryptedArrayCx::encode -> EncodedPtxt with mag/scale,
+        EncodedPtxt.h:142,312)."""
+        from .encoded import EncodedPtxt
+        coeffs, scale_v, mag, _ = self.encode(slots, scale)
+        return EncodedPtxt(np.array([int(c) for c in coeffs]),
+                           mag=mag, scale=float(scale_v))
+
     def decode(self, coeffs, scale: Fraction) -> np.ndarray:
         vals = np.array([float(Fraction(int(c)) / scale) for c in coeffs],
                         dtype=np.float64)

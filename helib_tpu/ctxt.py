@@ -240,6 +240,27 @@ class Ctxt:
     def sub(self, other: "Ctxt"):
         return self.add(other, sub=True)
 
+    def mul_by_constant(self, c, mag: float | None = None):
+        """Unified constant multiply (reference Ctxt::multByConstant
+        overload set, Ctxt.h:973-1010): accepts an EncodedPtxt (host
+        encoding), a FatEncodedPtxt (device-resident, sliced per prime
+        set), or a bare coefficient vector."""
+        from .encoded import EncodedPtxt, FatEncodedPtxt
+        if isinstance(c, FatEncodedPtxt):
+            return self.mul_constant_fat(c, mag)
+        if isinstance(c, EncodedPtxt):
+            return self.mul_constant_poly(c.coeffs, mag)
+        return self.mul_constant_poly(c, mag)
+
+    def add_constant(self, c):
+        """Unified constant add (reference Ctxt::addConstant overloads)."""
+        from .encoded import EncodedPtxt, FatEncodedPtxt
+        if isinstance(c, FatEncodedPtxt):
+            return self.add_constant_fat(c)
+        if isinstance(c, EncodedPtxt):
+            return self.add_constant_poly(c.coeffs)
+        return self.add_constant_poly(c)
+
     def add_constant_poly(self, coeffs: np.ndarray):
         """Add an encoded plaintext polynomial (BGV; reference
         Ctxt::addConstant).  coeffs: int vector mod p^r, deg < phi(m)."""

@@ -31,6 +31,7 @@ from .context import Context
 from .ops import modops
 from .ops.modops import (add_mod, sub_mod, neg_mod, mul_mod, mul_mod_shoup,
                          U32, U64)
+from .exceptions import assert_true
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +111,7 @@ def coeffs_to_residues(ctx: Context, coeffs, rows: tuple) -> np.ndarray:
     N = ctx.n_eval
     out = np.zeros((len(rows), N), dtype=np.uint32)
     arr = np.asarray(coeffs, dtype=object)
-    assert len(arr) <= N, (len(arr), N)
+    assert_true(len(arr) <= N, (len(arr), N))
     for i, q in enumerate(qs):
         qi = int(q)
         out[i, :len(arr)] = np.array([int(v) % qi for v in arr],
@@ -294,7 +295,7 @@ def _drop_consts(ctx_id, drop_rows: tuple, target_rows: tuple, ptxt_space: int):
     }
     if ptxt_space > 1:
         pr = ptxt_space
-        assert pr < (1 << 30), "ptxt space too large for RNS mod-down"
+        assert_true(pr < (1 << 30), "ptxt space too large for RNS mod-down")
         out["M_pr"] = np.array([(D // int(di)) % pr for di in d],
                                dtype=np.uint64)[:, None]
         out["D_pr"] = np.uint64(D % pr)
@@ -353,11 +354,11 @@ def _rt_scale_down_impl(ctx: Context, data, k: int, special: bool,
     of dropped primes, delta ≡ data (mod D), delta ≡ 0 (mod ptxt_space), and
     delta balanced-small.
     """
-    assert new_k <= k and (special or not new_special)
+    assert_true(new_k <= k and (special or not new_special), 'invariant: new_k <= k and (special or not new_special)')
     old_rows = ctx.rows_of(k, special)
     new_rows = ctx.rows_of(new_k, new_special)
     drop_rows = tuple(r for r in old_rows if r not in new_rows)
-    assert drop_rows, "nothing to drop"
+    assert_true(drop_rows, "nothing to drop")
     keep_pos = [old_rows.index(r) for r in new_rows]
     drop_pos = [old_rows.index(r) for r in drop_rows]
 
@@ -532,7 +533,8 @@ def _rt_break_into_digits_impl(ctx: Context, data, k: int):
     live_q = ctx.dev_q(k, False)[0]
     live_rows = ctx.rows_of(k, False)
     cur = ctx.inv_ntt(data, live_rows)          # [k, N] coefficients
-    digit_coeffs = []
+    cur_eval = data                              # same value, eval domain
+    digits = []
     noise_terms = []
     for j, cst in enumerate(consts):
         s, e = cst["rows"][0], cst["rows"][-1] + 1
@@ -549,14 +551,26 @@ def _rt_break_into_digits_impl(ctx: Context, data, k: int):
         corr = mul_mod_shoup(alpha_b[..., None, :], cst["D_mod_t"],
                              cst["D_mod_t_sh"], t_q)
         digit_coeff = sub_mod(acc, corr, t_q)          # [k+S, N] coefficients
-        digit_coeffs.append(digit_coeff)
+        # R_j ≡ cur (mod each of its own primes), so the digit's own-prime
+        # eval rows are the running value's eval rows, for free; only the
+        # extension rows go through the forward NTT (k fewer transform rows
+        # per decomposition than transforming every digit on every row).
+        ext_rows = all_rows[:s] + all_rows[e:]
+        ext_coeff = jnp.concatenate(
+            [digit_coeff[..., :s, :], digit_coeff[..., e:, :]], axis=-2)
+        ext_eval = ctx.fwd_ntt(ext_coeff, ext_rows)
+        own_eval = cur_eval[..., s:e, :]
+        digit_eval = jnp.concatenate(
+            [ext_eval[..., :s, :], own_eval, ext_eval[..., s:, :]], axis=-2)
+        digits.append(digit_eval)
         noise_terms.append(ctx.noise_uniform(cst["log2_D"] - 1.0))
         if j + 1 < len(consts):
-            # cur <- (cur - R_j) / B_{digit j}, still in coeff domain
+            # cur <- (cur - R_j) / B_{digit j}, in both domains (the eval
+            # update is pointwise, so the two stay consistent)
             sub = sub_mod(cur, digit_coeff[..., :k, :], live_q)
             cur = mul_mod_shoup(sub, cst["Dfinv_mod_t"][:k],
                                 cst["Dfinv_mod_t_sh"][:k], live_q)
-    stacked = jnp.stack(digit_coeffs, axis=-3)         # [c, k+S, N]
-    evals = ctx.fwd_ntt(stacked, all_rows)             # one batched call
-    digits = [evals[..., j, :, :] for j in range(len(consts))]
+            sub_e = sub_mod(cur_eval, digit_eval[..., :k, :], live_q)
+            cur_eval = mul_mod_shoup(sub_e, cst["Dfinv_mod_t"][:k],
+                                     cst["Dfinv_mod_t_sh"][:k], live_q)
     return digits, log2_sum(noise_terms)

@@ -9,6 +9,7 @@ from __future__ import annotations
 import sys
 
 from .log import warning
+from .exceptions import assert_true
 
 dbg_key = None
 dbg_ea = None
@@ -25,7 +26,7 @@ def check_noise(ctxt, msg: str = "", tolerance_bits: float = 0.5) -> bool:
     """Compare actual noise (via the debug secret key) against the tracked
     estimate (reference checkNoise, debugging.h:81).  Returns True if the
     estimate dominates the actual noise."""
-    assert dbg_key is not None, "setup_debug_globals first"
+    assert_true(dbg_key is not None, "setup_debug_globals first")
     actual = dbg_key.noise_of(ctxt)
     ok = actual <= ctxt.noise + tolerance_bits
     if not ok:
@@ -36,7 +37,7 @@ def check_noise(ctxt, msg: str = "", tolerance_bits: float = 0.5) -> bool:
 
 def decrypt_and_print(ctxt, msg: str = "", file=None):
     file = file or sys.stderr
-    assert dbg_key is not None
+    assert_true(dbg_key is not None, 'invariant: dbg_key is not None')
     print(f"[{msg}] cap={ctxt.capacity():.1f} noise=2^{ctxt.noise:.1f} "
           f"k={ctxt.k} special={ctxt.special}", file=file)
     if dbg_ea is not None and ctxt.ctx.scheme == "bgv":

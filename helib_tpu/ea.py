@@ -20,7 +20,7 @@ from functools import lru_cache
 import numpy as np
 
 from .context import Context
-from .exceptions import InvalidArgument
+from .exceptions import InvalidArgument, assert_true
 from .keys import SecKey, balanced_int
 from .nt.numbth import inv_mod
 from .nt import polymod as pm
@@ -81,7 +81,7 @@ class EncryptedArray:
                     slot_factor[si] = fi
                     used[fi] = True
                     break
-            assert slot_factor[si] is not None, (si, t)
+            assert_true(slot_factor[si] is not None, (si, t))
         self.factors = [facs[slot_factor[i]] for i in range(self.nslots)]
 
         # per-slot tables: B (powers of Z_t in Y-basis), C = B^{-1}, CRT units
@@ -98,7 +98,7 @@ class EncryptedArray:
             self.C.append(_inv_matrix_mod(B, p, r))
             F = self.factors[si]
             cof, rem = pm.pdivmod(phim_pr, F, pr)
-            assert not rem
+            assert_true(not rem, 'invariant: not rem')
             cof_inv = pm.poly_inv_mod(pm.pmod(cof, F, pr), F, p, r)
             unit = pm.pmod(pm.pmul(cof, cof_inv, pr), phim_pr, pr)
             self.units.append(unit)
@@ -183,6 +183,15 @@ class EncryptedArray:
         return [vals[si] for si in range(self.nslots)]
 
     # ------------------------------------------------------------ encoding
+    def encode_ptxt(self, slots):
+        """First-class scheme-tagged encoding (reference
+        EncryptedArray::encode -> EncodedPtxt, EncodedPtxt.h:142): wraps
+        the coefficient vector with the BGV plaintext space so it can be
+        passed to Ctxt.mul_by_constant / add_constant and upgraded to a
+        device-resident FatEncodedPtxt."""
+        from .encoded import EncodedPtxt
+        return EncodedPtxt(self.encode(slots), space=self.ctx.ptxt_space)
+
     def encode(self, slots) -> np.ndarray:
         """slots: length-nslots list; each entry an int (constant slot) or a
         length-<=d coeff vector over Z_{p^r}.  Returns phi(m)-coeff poly."""

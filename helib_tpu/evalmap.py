@@ -48,6 +48,7 @@ from .nt import polymod as pm
 from .nt.numbth import phi_n
 from .ea import EncryptedArray
 from .algos.matmul import MatMul1D
+from .exceptions import assert_true
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +65,7 @@ def _e_mat_inv(A, G, p, r):
     for col in range(n):
         piv = next((i for i in range(col, n)
                     if M[i][col] and _e_is_unit(M[i][col], G, p)), None)
-        assert piv is not None, "singular E-matrix"
+        assert_true(piv is not None, "singular E-matrix")
         if piv != col:
             M[col], M[piv] = M[piv], M[col]
             Inv[col], Inv[piv] = Inv[piv], Inv[col]
@@ -98,7 +99,7 @@ def _inv_scalar_matrix(A: np.ndarray, p: int, r: int) -> np.ndarray:
     Inv = np.eye(n, dtype=np.int64)
     for col in range(n):
         piv = col + int(np.argmax(M[col:, col] % p != 0))
-        assert M[piv, col] % p != 0, "singular scalar matrix"
+        assert_true(M[piv, col] % p != 0, "singular scalar matrix")
         if piv != col:
             M[[col, piv]] = M[[piv, col]]
             Inv[[col, piv]] = Inv[[piv, col]]
@@ -152,7 +153,7 @@ class ThinEvalMapTree:
     def __init__(self, ea: EncryptedArray, invert: bool, fat: bool = False):
         ctx = ea.ctx
         pal = ctx.pal
-        assert pal.aligned is not None, "Context must be built with mvec"
+        assert_true(pal.aligned is not None, "Context must be built with mvec")
         s = pal.aligned
         mvec = list(pal.mvec)
         self.ea = ea
@@ -306,7 +307,7 @@ class ThinEvalMapTree:
         trs = []
         for i in range(2 * d - 1):
             tr = _trace(yi, G, p, r, d)
-            assert len(tr) <= 1, "trace is not a constant"
+            assert_true(len(tr) <= 1, "trace is not a constant")
             trs.append((int(tr[0]) if tr else 0) % pr)
             yi = pm.pmulmod(yi, [0, 1], G, pr)
         for lam in range(d):

@@ -15,6 +15,7 @@ from functools import lru_cache
 import numpy as np
 
 from .numbth import divisors, prime_factors
+from ..exceptions import assert_true
 
 
 def _polydiv_exact(num: list[int], den: list[int]) -> list[int]:
@@ -24,14 +25,14 @@ def _polydiv_exact(num: list[int], den: list[int]) -> list[int]:
     qn = len(num) - 1 - dn
     q = [0] * (qn + 1)
     lead = den[-1]
-    assert lead in (1, -1)
+    assert_true(lead in (1, -1), 'invariant: lead in (1, -1)')
     for i in range(qn, -1, -1):
         c = num[i + dn] // lead
         q[i] = c
         if c:
             for j, dj in enumerate(den):
                 num[i + j] -= c * dj
-    assert all(v == 0 for v in num[: dn + 1]) or all(v == 0 for v in num), num[:8]
+    assert_true(all(v == 0 for v in num[: dn + 1]) or all(v == 0 for v in num), num[:8])
     return q
 
 
@@ -41,13 +42,13 @@ def _polydiv_exact_np(num: np.ndarray, den: np.ndarray) -> np.ndarray:
     dn = len(den) - 1
     qn = len(num) - 1 - dn
     q = np.zeros(qn + 1, dtype=np.int64)
-    assert den[-1] == 1
+    assert_true(den[-1] == 1, 'invariant: den[-1] == 1')
     for i in range(qn, -1, -1):
         c = num[i + dn]
         q[i] = c
         if c:
             num[i:i + dn + 1] -= c * den
-    assert not num[:dn + 1].any() or not num.any()
+    assert_true(not num[:dn + 1].any() or not num.any(), 'invariant: not num[:dn + 1].any() or not num.any()')
     return q
 
 
@@ -96,5 +97,5 @@ def cyclotomic_poly(m: int) -> tuple[int, ...]:
         for c in reversed(list(coeffs)):
             acc = (acc * x + int(c)) % P
         rhs = rhs * acc % P
-    assert lhs == rhs, "cyclotomic verification failed (overflow?)"
+    assert_true(lhs == rhs, "cyclotomic verification failed (overflow?)")
     return tuple(int(v) for v in num)

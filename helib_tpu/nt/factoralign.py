@@ -19,6 +19,7 @@ from functools import reduce
 
 from .numbth import (phi_n, mult_order, primitive_root, inv_mod, factorize,
                      crt_combine)
+from ..exceptions import assert_true
 
 
 def factor_aligned_structure(m: int, p: int, mvec: list[int]):
@@ -33,19 +34,18 @@ def factor_aligned_structure(m: int, p: int, mvec: list[int]):
       local_gens : per factor, the generator of (Z/m_t)*
     Raises if the inert-prefix condition fails (same as the reference)."""
     nf = len(mvec)
-    assert reduce(lambda a, b: a * b, mvec, 1) == m
+    assert_true(reduce(lambda a, b: a * b, mvec, 1) == m, 'invariant: reduce(lambda a, b: a * b, mvec, 1) == m')
     for i in range(nf):
         for j in range(i + 1, nf):
-            assert math.gcd(mvec[i], mvec[j]) == 1
-        assert mvec[i] % 2 == 1, "factor-aligned path expects odd factors"
-        assert len(factorize(mvec[i])) == 1, \
-            "factors must be prime powers (cyclic unit groups)"
+            assert_true(math.gcd(mvec[i], mvec[j]) == 1, 'invariant: math.gcd(mvec[i], mvec[j]) == 1')
+        assert_true(mvec[i] % 2 == 1, "factor-aligned path expects odd factors")
+        assert_true(len(factorize(mvec[i])) == 1, "factors must be prime powers (cyclic unit groups)")
     dprod = [1] * (nf + 1)
     for t in reversed(range(nf)):
         p_t = pow(p, dprod[t + 1], mvec[t])
         dprod[t] = dprod[t + 1] * mult_order(p_t, mvec[t])
     d = dprod[0]
-    assert d == mult_order(p, m), (d, mult_order(p, m))
+    assert_true(d == mult_order(p, m), (d, mult_order(p, m)))
     dvec = [dprod[t] // dprod[t + 1] for t in range(nf)]
     # reference inertPrefix requirement: all the relative degree lives in the
     # LAST factor (EvalMap.cpp:104-110)
@@ -92,8 +92,7 @@ def factor_aligned_structure(m: int, p: int, mvec: list[int]):
         for e in range(orders[idx]):
             gen_products(idx + 1, cur * pow(gens[idx], e, m) % m)
     gen_products(0, 1)
-    assert len(seen) == phi_n(m), \
-        f"factor-aligned reps do not form a transversal ({len(seen)} != {phi_n(m)})"
+    assert_true(len(seen) == phi_n(m), f"factor-aligned reps do not form a transversal ({len(seen)} != {phi_n(m)})")
     return {"gens": gens, "orders": orders, "native": native,
             "dims_factor": dims_factor, "d": d, "dvec": dvec,
             "local_gens": local_gens, "local_reps": local_reps,
@@ -118,7 +117,7 @@ def find_aligned_mvec(m: int, p: int) -> list[int] | None:
 def primitive_root_pp(q: int) -> int:
     """Generator of the (cyclic) unit group of an odd prime power."""
     fac = factorize(q)
-    assert len(fac) == 1 and fac[0][0] % 2 == 1
+    assert_true(len(fac) == 1 and fac[0][0] % 2 == 1, 'invariant: len(fac) == 1 and fac[0][0] % 2 == 1')
     pr, e = fac[0]
     g = primitive_root(pr)
     if e == 1:
@@ -126,5 +125,5 @@ def primitive_root_pp(q: int) -> int:
     # lift: g or g + pr generates mod pr^2 (hence mod pr^e)
     if pow(g, pr - 1, pr * pr) == 1:
         g += pr
-    assert mult_order(g, q) == phi_n(q)
+    assert_true(mult_order(g, q) == phi_n(q), 'invariant: mult_order(g, q) == phi_n(q)')
     return g

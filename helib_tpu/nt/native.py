@@ -15,6 +15,7 @@ import subprocess
 import threading
 
 import numpy as np
+from ..exceptions import assert_true
 
 _HERE = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -99,7 +100,7 @@ class CrtCombiner:
 
     def _res(self, residues) -> np.ndarray:
         r = np.ascontiguousarray(np.asarray(residues, dtype=np.uint32))
-        assert r.ndim == 2 and r.shape[0] == self.L
+        assert_true(r.ndim == 2 and r.shape[0] == self.L, 'invariant: r.ndim == 2 and r.shape[0] == self.L')
         return r
 
     def balanced_mod(self, residues, modulus: int) -> np.ndarray:

@@ -13,6 +13,7 @@ from __future__ import annotations
 import random
 
 from .numbth import inv_mod
+from ..exceptions import assert_true
 
 
 def trim(a):
@@ -101,7 +102,7 @@ def equal_degree_factor(f, d, p, rng=None):
     degree d (Cantor-Zassenhaus; GF(2) via trace maps)."""
     rng = rng or random.Random(0xC0FFEE)
     n = len(f) - 1
-    assert n % d == 0
+    assert_true(n % d == 0, 'invariant: n % d == 0')
     if n == d:
         return [make_monic(f, p)]
     while True:
@@ -123,7 +124,7 @@ def equal_degree_factor(f, d, p, rng=None):
             g = pgcd(f, psub(he, [1], p), p)
         if 0 < len(g) - 1 < n:
             q, rem = pdivmod(f, g, p)
-            assert not rem
+            assert_true(not rem, 'invariant: not rem')
             return equal_degree_factor(g, d, p, rng) + \
                 equal_degree_factor(q, d, p, rng)
 
@@ -198,7 +199,7 @@ def lift_factorization(f, factors_mod_p, p, r):
 def poly_inv_mod(a, f, p, r=1):
     """Inverse of a mod (f, p^r): xgcd mod p, then Newton-lift to p^r."""
     g, u, _ = poly_xgcd(a, f, p)
-    assert g == [1], "not invertible"
+    assert_true(g == [1], "not invertible")
     inv = u
     pk = p
     pr = p**r

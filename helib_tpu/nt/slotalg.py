@@ -22,6 +22,7 @@ import numpy as np
 
 from .numbth import prime_factors, inv_mod
 from . import polymod as pm
+from ..exceptions import assert_true
 
 
 # ---------------------------------------------------------------------------
@@ -53,7 +54,7 @@ class GaloisBatch:
 
     def __init__(self, h, q: int):
         h = [int(c) % q for c in h]
-        assert h[-1] == 1, "h must be monic"
+        assert_true(h[-1] == 1, "h must be monic")
         self.q = q
         self.d = d = len(h) - 1
         self.h = np.array(h, dtype=np.int64)
@@ -146,7 +147,7 @@ def find_irreducible(p: int, d: int, seed: int = 5) -> list[int]:
 def order_m_element(m: int, p: int, d: int, h: list[int],
                     seed: int = 7) -> np.ndarray:
     """zeta of multiplicative order exactly m in GF(p^d) = GF(p)[z]/h."""
-    assert (p**d - 1) % m == 0, "m must divide p^d - 1"
+    assert_true((p**d - 1) % m == 0, "m must divide p^d - 1")
     F = GaloisBatch(h, p)
     co = (p**d - 1) // m
     rng = np.random.default_rng(seed)
@@ -193,9 +194,9 @@ def batched_minpolys(m: int, p: int, d: int, reps, h: list[int],
         deg += 1
         if j < d - 1:
             cur = F.pow_int(cur, p)
-    assert not P[:, :, 1:].any(), "minimal poly has non-GF(p) coefficients"
+    assert_true(not P[:, :, 1:].any(), "minimal poly has non-GF(p) coefficients")
     out = P[:, :, 0]
-    assert (out[:, d] == 1).all()
+    assert_true((out[:, d] == 1).all(), 'invariant: (out[:, d] == 1).all()')
     return out
 
 
@@ -421,7 +422,7 @@ def hensel_lift_factors(phim, F_p: np.ndarray, p: int, r: int) -> np.ndarray:
         k = k2
     # final verification: Phi_m mod F ≡ 0 mod p^r
     rem = batched_rem_long(phim_pr, F % pr, pr)
-    assert not rem.any(), "Hensel lift failed"
+    assert_true(not rem.any(), "Hensel lift failed")
     return F % pr
 
 
@@ -434,7 +435,7 @@ def batched_crt_units(phim, F: np.ndarray, p: int, r: int) -> np.ndarray:
     d = dp1 - 1
     phi = len(phim) - 1
     cof, rem = batched_divmod_same(phim_pr, F, pr)
-    assert not rem.any()
+    assert_true(not rem.any(), 'invariant: not rem.any()')
     # cof mod F, then batched inversion mod (F, p^r)
     cof_red = batched_rem_long(cof, F, pr)
     units = np.zeros((rows, phi), dtype=np.int64)

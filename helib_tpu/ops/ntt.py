@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from ..nt.numbth import root_of_unity, inv_mod
 from ..nt.primegen import gen_aux_primes, AUX_POW2
 from .modops import (add_mod, sub_mod, mul_mod_shoup, shoup, reduce_u32, U32)
+from ..exceptions import assert_true
 
 
 # ---------------------------------------------------------------------------
@@ -125,7 +126,7 @@ class Pow2NTT:
     def __post_init__(self):
         n = self.n
         qs = np.asarray(self.qs, dtype=np.uint64)
-        assert n & (n - 1) == 0
+        assert_true(n & (n - 1) == 0, 'invariant: n & (n - 1) == 0')
         ordr = 2 * n if self.negacyclic else n
         e0 = n if self.negacyclic else 0
         stage_exps, eval_exps = _stage_exponents(n, e0, ordr)
@@ -360,9 +361,9 @@ class BluesteinTables:
     def __post_init__(self):
         m = self.m
         qs = np.asarray(self.qs, dtype=np.uint64)
-        assert m % 2 == 1, "Bluestein path expects odd m"
+        assert_true(m % 2 == 1, "Bluestein path expects odd m")
         B = 1 << int(np.ceil(np.log2(2 * m - 1)))
-        assert B <= (1 << AUX_POW2)
+        assert_true(B <= (1 << AUX_POW2), 'invariant: B <= (1 << AUX_POW2)')
         self.B = B
         P = len(qs)
         raux = aux_primes().astype(np.uint64)

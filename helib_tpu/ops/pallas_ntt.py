@@ -43,15 +43,24 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ..exceptions import assert_true
 
 U32 = jnp.uint32
 
 ROW_BLOCK = 8          # limb rows per program (sublane-aligned)
 LANE = 128
-MIN_PALLAS_N = 16384   # below this the jnp path is used: the fine
-                       # phase needs A = n/128 >= 128 lanes, so
-                       # n=8192 (A=64) would hit lane-splitting
-                       # reshapes Mosaic cannot relayout
+MIN_PALLAS_N = 2048    # below this the jnp path is used.  For
+                       # 2048 <= n < 16384 the fine phase groups
+                       # G = 16384/n rows so its lane axis is always
+                       # G*A = 128 wide (see group_fine_tables); below
+                       # 2048 the group would exceed ROW_BLOCK.
+
+
+def row_group(n: int) -> int:
+    """Rows fused per fine-phase group so the grouped lane width G*A is a
+    full 128-lane tile (clamped to ROW_BLOCK; below n=2048 the lane tile
+    stays partially filled, which only the interpret-mode tests use)."""
+    return min(ROW_BLOCK, max(1, (LANE * LANE) // n))
 
 
 def fine_layout(seg: np.ndarray, n: int) -> np.ndarray:
@@ -235,83 +244,82 @@ def _inv_coarse3(x3, q, R, A, itw3_ref, itsh3_ref, coarse):
 # fine phase: butterflies along the former-lane axis of [R, LANE, A]
 # ---------------------------------------------------------------------------
 
-def _fwd_r2_fine(xt, qq4, R, n, A, fine_ref, fsh_ref, s):
+def _fwd_r2_fine(xt, qq4, R2, n, W, G, fine_ref, fsh_ref, s):
     m = 1 << s
     half = n // (2 * m)
     g2 = LANE // (2 * half)
-    w = fine_ref[:, m:2 * m].reshape(R, g2, 1, A)
-    wsh = fsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
-    xr = xt.reshape(R, g2, 2, half, A)
+    w = fine_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
+    wsh = fsh_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
+    xr = xt.reshape(R2, g2, 2, half, W)
     u = _csub(xr[:, :, 0], 2 * qq4)
     t = _shoup_lazy(xr[:, :, 1], w, wsh, qq4)
     return jnp.concatenate([u + t, u + 2 * qq4 - t],
-                           axis=2).reshape(R, LANE, A)
+                           axis=2).reshape(R2, LANE, W)
 
 
-def _fwd_r4_fine(xt, qq4, R, n, A, fine_ref, fsh_ref, s):
+def _fwd_r4_fine(xt, qq4, R2, n, W, G, fine_ref, fsh_ref, s):
     """Fine stages s, s+1 fused.  Stage s+1 twiddles are stored even/odd-
-    deinterleaved in fine layout ([2m:3m] = blocks 2gi, [3m:4m] = 2gi+1)."""
+    deinterleaved in fine layout ([2m:3m] = blocks 2gi, [3m:4m] = 2gi+1);
+    all indices scale by the row-group factor G (grouped sub-16k layout)."""
     m = 1 << s
     half = n // (2 * m)
     half2 = half // 2
     g2 = LANE // (2 * half)
-    w1 = fine_ref[:, m:2 * m].reshape(R, g2, 1, A)
-    w1s = fsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
-    xr = xt.reshape(R, g2, 2, half, A)                 # [r, gi, j, h, a]
-    u = _csub(xr[:, :, 0], 2 * qq4)                    # [R, g2, half, A]
+    w1 = fine_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
+    w1s = fsh_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
+    xr = xt.reshape(R2, g2, 2, half, W)                # [r, gi, j, h, a]
+    u = _csub(xr[:, :, 0], 2 * qq4)                    # [R2, g2, half, W]
     t = _shoup_lazy(xr[:, :, 1], w1, w1s, qq4)
-    a0 = (u + t).reshape(R, g2, 2, half2, A)
-    a1 = (u + 2 * qq4 - t).reshape(R, g2, 2, half2, A)
-    w2e = fine_ref[:, 2 * m:3 * m].reshape(R, g2, 1, A)
-    w2es = fsh_ref[:, 2 * m:3 * m].reshape(R, g2, 1, A)
-    w2o = fine_ref[:, 3 * m:4 * m].reshape(R, g2, 1, A)
-    w2os = fsh_ref[:, 3 * m:4 * m].reshape(R, g2, 1, A)
+    a0 = (u + t).reshape(R2, g2, 2, half2, W)
+    a1 = (u + 2 * qq4 - t).reshape(R2, g2, 2, half2, W)
+    w2e = fine_ref[:, 2 * m * G:3 * m * G].reshape(R2, g2, 1, W)
+    w2es = fsh_ref[:, 2 * m * G:3 * m * G].reshape(R2, g2, 1, W)
+    w2o = fine_ref[:, 3 * m * G:4 * m * G].reshape(R2, g2, 1, W)
+    w2os = fsh_ref[:, 3 * m * G:4 * m * G].reshape(R2, g2, 1, W)
     u0 = _csub(a0[:, :, 0], 2 * qq4)
     t0 = _shoup_lazy(a0[:, :, 1], w2e, w2es, qq4)
     u1 = _csub(a1[:, :, 0], 2 * qq4)
     t1 = _shoup_lazy(a1[:, :, 1], w2o, w2os, qq4)
     return jnp.concatenate([u0 + t0, u0 + 2 * qq4 - t0,
                             u1 + t1, u1 + 2 * qq4 - t1],
-                           axis=2).reshape(R, LANE, A)
+                           axis=2).reshape(R2, LANE, W)
 
 
-def _fwd_fine(xt, q, R, n, fine_ref, fsh_ref, coarse, stages):
-    A = n // LANE
-    qq4 = q[:, :, None, None]
+def _fwd_fine(xt, qq4, R2, n, W, G, fine_ref, fsh_ref, coarse, stages):
     single, pairs = _schedule(coarse, stages)
     if single is not None:
-        xt = _fwd_r2_fine(xt, qq4, R, n, A, fine_ref, fsh_ref, single)
+        xt = _fwd_r2_fine(xt, qq4, R2, n, W, G, fine_ref, fsh_ref, single)
     for s, _ in pairs:
-        xt = _fwd_r4_fine(xt, qq4, R, n, A, fine_ref, fsh_ref, s)
+        xt = _fwd_r4_fine(xt, qq4, R2, n, W, G, fine_ref, fsh_ref, s)
     return xt
 
 
-def _inv_r2_fine(xt, qq4, R, n, A, ifine_ref, ifsh_ref, s):
+def _inv_r2_fine(xt, qq4, R2, n, W, G, ifine_ref, ifsh_ref, s):
     m = 1 << s
     half = n // (2 * m)
     g2 = LANE // (2 * half)
-    w = ifine_ref[:, m:2 * m].reshape(R, g2, 1, A)
-    wsh = ifsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
-    xr = xt.reshape(R, g2, 2, half, A)
+    w = ifine_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
+    wsh = ifsh_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
+    xr = xt.reshape(R2, g2, 2, half, W)
     a, b = xr[:, :, 0], xr[:, :, 1]
     u = _csub(a + b, 2 * qq4)
     v = _shoup_lazy(a + 2 * qq4 - b, w, wsh, qq4)
-    return jnp.concatenate([u, v], axis=2).reshape(R, LANE, A)
+    return jnp.concatenate([u, v], axis=2).reshape(R2, LANE, W)
 
 
-def _inv_r4_fine(xt, qq4, R, n, A, ifine_ref, ifsh_ref, s):
+def _inv_r4_fine(xt, qq4, R2, n, W, G, ifine_ref, ifsh_ref, s):
     """Inverse stages s+1 then s fused (mirror of _fwd_r4_fine)."""
     m = 1 << s
     half = n // (2 * m)
     half2 = half // 2
     g2 = LANE // (2 * half)
-    w1 = ifine_ref[:, m:2 * m].reshape(R, g2, 1, A)
-    w1s = ifsh_ref[:, m:2 * m].reshape(R, g2, 1, A)
-    w2e = ifine_ref[:, 2 * m:3 * m].reshape(R, g2, 1, A)
-    w2es = ifsh_ref[:, 2 * m:3 * m].reshape(R, g2, 1, A)
-    w2o = ifine_ref[:, 3 * m:4 * m].reshape(R, g2, 1, A)
-    w2os = ifsh_ref[:, 3 * m:4 * m].reshape(R, g2, 1, A)
-    xr = xt.reshape(R, g2, 4, half2, A)                # blocks 4gi + 2j + k
+    w1 = ifine_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
+    w1s = ifsh_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
+    w2e = ifine_ref[:, 2 * m * G:3 * m * G].reshape(R2, g2, 1, W)
+    w2es = ifsh_ref[:, 2 * m * G:3 * m * G].reshape(R2, g2, 1, W)
+    w2o = ifine_ref[:, 3 * m * G:4 * m * G].reshape(R2, g2, 1, W)
+    w2os = ifsh_ref[:, 3 * m * G:4 * m * G].reshape(R2, g2, 1, W)
+    xr = xt.reshape(R2, g2, 4, half2, W)               # blocks 4gi + 2j + k
     a0, b0 = xr[:, :, 0], xr[:, :, 1]
     a1, b1 = xr[:, :, 2], xr[:, :, 3]
     u0 = _csub(a0 + b0, 2 * qq4)
@@ -323,17 +331,15 @@ def _inv_r4_fine(xt, qq4, R, n, A, ifine_ref, ifsh_ref, s):
     V0 = _shoup_lazy(u0 + 2 * qq4 - u1, w1, w1s, qq4)
     V1 = _shoup_lazy(v0 + 2 * qq4 - v1, w1, w1s, qq4)
     return jnp.concatenate([U0, U1, V0, V1],
-                           axis=2).reshape(R, LANE, A)
+                           axis=2).reshape(R2, LANE, W)
 
 
-def _inv_fine(xt, q, R, n, ifine_ref, ifsh_ref, coarse, stages):
-    A = n // LANE
-    qq4 = q[:, :, None, None]
+def _inv_fine(xt, qq4, R2, n, W, G, ifine_ref, ifsh_ref, coarse, stages):
     single, pairs = _schedule(coarse, stages)
     for s, _ in reversed(pairs):
-        xt = _inv_r4_fine(xt, qq4, R, n, A, ifine_ref, ifsh_ref, s)
+        xt = _inv_r4_fine(xt, qq4, R2, n, W, G, ifine_ref, ifsh_ref, s)
     if single is not None:
-        xt = _inv_r2_fine(xt, qq4, R, n, A, ifine_ref, ifsh_ref, single)
+        xt = _inv_r2_fine(xt, qq4, R2, n, W, G, ifine_ref, ifsh_ref, single)
     return xt
 
 
@@ -341,97 +347,120 @@ def _inv_fine(xt, q, R, n, ifine_ref, ifsh_ref, coarse, stages):
 # full passes
 # ---------------------------------------------------------------------------
 
-def _fwd_pass(x, q, R, n, tw3_ref, tsh3_ref, fine_ref, fsh_ref):
-    """All forward stages; input < 2q, output < 4q (lazy), natural order."""
+def _fwd_pass(x, q, qg4, R, n, tw3_ref, tsh3_ref, fine_ref, fsh_ref):
+    """All forward stages; input < 2q, output < 4q (lazy), natural order.
+    For n < 16384 the fine phase runs on G = 16384/n rows fused into one
+    [LANE, G*A = 128] tile (one standard transpose either side)."""
     stages = n.bit_length() - 1
     A = n // LANE
+    G = row_group(n)
+    W = G * A
+    R2 = R // G
     coarse = stages - 7
     x3 = _fwd_coarse3(x.reshape(R, A, LANE), q, R, A, tw3_ref, tsh3_ref,
                       coarse)
-    xt = jnp.swapaxes(x3, 1, 2)                        # [R, LANE, A]
-    xt = _fwd_fine(xt, q, R, n, fine_ref, fsh_ref, coarse, stages)
+    xt = jnp.swapaxes(x3.reshape(R2, W, LANE), 1, 2)   # [R2, LANE, W]
+    xt = _fwd_fine(xt, qg4, R2, n, W, G, fine_ref, fsh_ref, coarse, stages)
     return jnp.swapaxes(xt, 1, 2).reshape(R, n)
 
 
-def _inv_pass(x, q, R, n, itw3_ref, itsh3_ref, ifine_ref, ifsh_ref):
+def _inv_pass(x, q, qg4, R, n, itw3_ref, itsh3_ref, ifine_ref, ifsh_ref):
     """All inverse stages + n^{-1}; input < 2q, output < 2q (lazy)."""
     stages = n.bit_length() - 1
     A = n // LANE
+    G = row_group(n)
+    W = G * A
+    R2 = R // G
     coarse = stages - 7
-    xt = jnp.swapaxes(x.reshape(R, A, LANE), 1, 2)
-    xt = _inv_fine(xt, q, R, n, ifine_ref, ifsh_ref, coarse, stages)
-    x3 = jnp.swapaxes(xt, 1, 2)
+    xt = jnp.swapaxes(x.reshape(R2, W, LANE), 1, 2)
+    xt = _inv_fine(xt, qg4, R2, n, W, G, ifine_ref, ifsh_ref, coarse, stages)
+    x3 = jnp.swapaxes(xt, 1, 2).reshape(R, A, LANE)
     x3 = _inv_coarse3(x3, q, R, A, itw3_ref, itsh3_ref, coarse)
     # * n^{-1} (stored at entry 0 of the expanded inverse coarse table)
     x3 = _shoup_lazy(x3, itw3_ref[:, 0], itsh3_ref[:, 0], q[:, :, None])
     return x3.reshape(R, n)
 
 
-def _ntt_kernel(x_ref, tw3_ref, tsh3_ref, fine_ref, fsh_ref, q_ref, o_ref, *,
-                n: int, inverse: bool):
+def _ntt_kernel(x_ref, tw3_ref, tsh3_ref, fine_ref, fsh_ref, q_ref, qg4_ref,
+                o_ref, *, n: int, inverse: bool):
     x = x_ref[:]                       # [R, n], fully reduced on entry
     q = q_ref[:]                       # [R, 1]
+    qg4 = qg4_ref[:]                   # [R/G, 1, 1, G*A]
     R = x.shape[0]
     if not inverse:
-        x = _fwd_pass(x, q, R, n, tw3_ref, tsh3_ref, fine_ref, fsh_ref)
+        x = _fwd_pass(x, q, qg4, R, n, tw3_ref, tsh3_ref, fine_ref, fsh_ref)
         x = _csub(_csub(x, 2 * q), q)
     else:
-        x = _inv_pass(x, q, R, n, tw3_ref, tsh3_ref, fine_ref, fsh_ref)
+        x = _inv_pass(x, q, qg4, R, n, tw3_ref, tsh3_ref, fine_ref, fsh_ref)
         x = _csub(x, q)
     o_ref[:] = x
 
 
 @functools.partial(jax.jit, static_argnames=("n", "inverse", "interpret"))
-def pallas_ntt(x, tw3, tsh3, fine_cat, fsh_cat, q, *, n: int,
+def pallas_ntt(x, tw3, tsh3, gfine, gfsh, q, qg4, *, n: int,
                inverse: bool, interpret: bool = False):
-    """x: [P, n] uint32 (P multiple of ROW_BLOCK, n >= 2^8 power of two).
+    """x: [P, n] uint32 (P multiple of ROW_BLOCK, n >= 2^11 power of two).
     tw3/tsh3: [P, A, 1, LANE] coarse3_layout tables (fwd or inv per
-    direction); fine_cat/fsh_cat: [P, n] fine-layout tables."""
+    direction); gfine/gfsh: [P/G, G*n] grouped fine-layout tables
+    (group_fine_tables); qg4: [P/G, 1, 1, G*A] per-lane moduli."""
     P = x.shape[0]
-    assert P % ROW_BLOCK == 0, P
+    G = row_group(n)
+    assert_true(P % ROW_BLOCK == 0 and ROW_BLOCK % G == 0, (P, G))
     grid = (P // ROW_BLOCK,)
     A = max(n // LANE, 1)
+    W = G * A
+    RB2 = ROW_BLOCK // G
     kern = functools.partial(_ntt_kernel, n=n, inverse=inverse)
     zero = np.int32(0)   # keep index_map outputs i32 under jax_enable_x64
     bs = lambda w: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, zero),
                                 memory_space=pltpu.VMEM)
+    bsg = pl.BlockSpec((RB2, G * n), lambda i: (i, zero),
+                       memory_space=pltpu.VMEM)
     bs4 = pl.BlockSpec((ROW_BLOCK, A, 1, LANE),
                        lambda i: (i, zero, zero, zero),
                        memory_space=pltpu.VMEM)
+    bsq4 = pl.BlockSpec((RB2, 1, 1, W), lambda i: (i, zero, zero, zero),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bs(n), bs4, bs4, bs(n), bs(n), bs(1)],
+        in_specs=[bs(n), bs4, bs4, bsg, bsg, bs(1), bsq4],
         out_specs=bs(n),
         out_shape=jax.ShapeDtypeStruct((P, n), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, tw3, tsh3, fine_cat, fsh_cat, q)
+    )(x, tw3, tsh3, gfine, gfsh, q, qg4)
 
 
 def _conv_kernel(x_ref, tw3_ref, tsh3_ref, fine_ref, fsh_ref,
                  itw3_ref, itsh3_ref, ifine_ref, ifsh_ref,
-                 khf_ref, khfsh_ref, q_ref, o_ref, *, n: int):
+                 khf_ref, khfsh_ref, q_ref, qg4_ref, o_ref, *, n: int):
     """Cyclic convolution with a precomputed spectral kernel, fully fused:
     iNTT(NTT(x) ⊙ khat) without leaving VMEM (the Bluestein hot path).
     The pointwise multiply happens in the TRANSPOSED fine layout (khat is
-    shipped in spectral_fine_layout order), so the two middle four-step
-    transposes cancel.  Lazy reductions throughout: fwd < 4q -> khat shoup
-    (any u32) < 2q -> inverse < 2q -> one final csub."""
+    shipped in spectral_fine_layout order, row-grouped for n < 16384), so
+    the two middle four-step transposes cancel.  Lazy reductions
+    throughout: fwd < 4q -> khat shoup (any u32) < 2q -> inverse < 2q ->
+    one final csub."""
     x = x_ref[:]
     q = q_ref[:]
+    qg4 = qg4_ref[:]
     R = x.shape[0]
     stages = n.bit_length() - 1
     A = n // LANE
+    G = row_group(n)
+    W = G * A
+    R2 = R // G
     coarse = stages - 7
     x3 = _fwd_coarse3(x.reshape(R, A, LANE), q, R, A, tw3_ref, tsh3_ref,
                       coarse)
-    xt = jnp.swapaxes(x3, 1, 2)                        # [R, LANE, A]
-    xt = _fwd_fine(xt, q, R, n, fine_ref, fsh_ref, coarse, stages)
-    xt = _shoup_lazy(xt, khf_ref[:], khfsh_ref[:], q[:, :, None])
-    xt = _inv_fine(xt, q, R, n, ifine_ref, ifsh_ref, coarse, stages)
-    x3 = jnp.swapaxes(xt, 1, 2)
+    xt = jnp.swapaxes(x3.reshape(R2, W, LANE), 1, 2)   # [R2, LANE, W]
+    xt = _fwd_fine(xt, qg4, R2, n, W, G, fine_ref, fsh_ref, coarse, stages)
+    xt = _shoup_lazy(xt, khf_ref[:], khfsh_ref[:], qg4[:, 0])
+    xt = _inv_fine(xt, qg4, R2, n, W, G, ifine_ref, ifsh_ref, coarse,
+                   stages)
+    x3 = jnp.swapaxes(xt, 1, 2).reshape(R, A, LANE)
     x3 = _inv_coarse3(x3, q, R, A, itw3_ref, itsh3_ref, coarse)
     x3 = _shoup_lazy(x3, itw3_ref[:, 0], itsh3_ref[:, 0],
                      q[:, :, None])                    # * n^{-1}
@@ -439,34 +468,95 @@ def _conv_kernel(x_ref, tw3_ref, tsh3_ref, fine_ref, fsh_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def pallas_conv(x, tw3, tsh3, fine, fsh, itw3, itsh3, ifine, ifsh,
-                khf, khfsh, q, *, n: int, interpret: bool = False):
-    """khf/khfsh must be in spectral_fine_layout order: [P, LANE, A]."""
+def pallas_conv(x, tw3, tsh3, gfine, gfsh, itw3, itsh3, gifine, gifsh,
+                khf, khfsh, q, qg4, *, n: int, interpret: bool = False):
+    """khf/khfsh must be in (grouped) spectral_fine_layout order:
+    [P/G, LANE, G*A]."""
     P = x.shape[0]
-    assert P % ROW_BLOCK == 0
+    G = row_group(n)
+    assert_true(P % ROW_BLOCK == 0 and ROW_BLOCK % G == 0, 'invariant: P % ROW_BLOCK == 0 and ROW_BLOCK % G == 0')
     grid = (P // ROW_BLOCK,)
     A = max(n // LANE, 1)
+    W = G * A
+    RB2 = ROW_BLOCK // G
     kern = functools.partial(_conv_kernel, n=n)
     zero = np.int32(0)
     bs = lambda w: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, zero),
                                 memory_space=pltpu.VMEM)
-    bs3 = pl.BlockSpec((ROW_BLOCK, LANE, A), lambda i: (i, zero, zero),
+    bsg = pl.BlockSpec((RB2, G * n), lambda i: (i, zero),
+                       memory_space=pltpu.VMEM)
+    bs3 = pl.BlockSpec((RB2, LANE, W), lambda i: (i, zero, zero),
                        memory_space=pltpu.VMEM)
     bs4 = pl.BlockSpec((ROW_BLOCK, A, 1, LANE),
                        lambda i: (i, zero, zero, zero),
                        memory_space=pltpu.VMEM)
+    bsq4 = pl.BlockSpec((RB2, 1, 1, W), lambda i: (i, zero, zero, zero),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bs(n), bs4, bs4, bs(n), bs(n),
-                  bs4, bs4, bs(n), bs(n),
-                  bs3, bs3, bs(1)],
+        in_specs=[bs(n), bs4, bs4, bsg, bsg,
+                  bs4, bs4, bsg, bsg,
+                  bs3, bs3, bs(1), bsq4],
         out_specs=bs(n),
         out_shape=jax.ShapeDtypeStruct((P, n), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, tw3, tsh3, fine, fsh, itw3, itsh3, ifine, ifsh, khf, khfsh, q)
+    )(x, tw3, tsh3, gfine, gfsh, itw3, itsh3, gifine, gifsh,
+      khf, khfsh, q, qg4)
+
+
+def group_fine_tables(fine_rows, n: int, G: int):
+    """Per-row fine cat table [R, n] -> grouped [R/G, G*n]: each stage
+    segment (and each eo half of second-of-pair segments) is transformed
+    (gi, a) -> (gi, g, a), interleaving the G grouped rows' twiddles along
+    the lane axis exactly as the grouped data transpose interleaves their
+    columns.  Works on jnp (trace-time) and numpy inputs."""
+    if G == 1:
+        return fine_rows
+    R = fine_rows.shape[0]
+    R2 = R // G
+    A = n // LANE
+    stages = n.bit_length() - 1
+    coarse = stages - 7
+    single, pairs = _schedule(coarse, stages)
+
+    def blk(seg, gseg):
+        # seg [R, gseg*A] in (gi, a) layout -> [R2, gseg*G*A]
+        return (seg.reshape(R2, G, gseg, A).transpose(0, 2, 1, 3)
+                .reshape(R2, gseg * G * A))
+
+    roles = ([(single, False)] if single is not None else []) + \
+            [x for s0, s1 in pairs for x in [(s0, False), (s1, True)]]
+    roles.sort()
+    parts = [jnp.zeros((R2, (1 << coarse) * G), fine_rows.dtype)]
+    for s, second in roles:
+        m = 1 << s
+        seg = fine_rows[:, m:2 * m]
+        if second:
+            h = m // 2
+            parts.append(blk(seg[:, :h], h // A))
+            parts.append(blk(seg[:, h:], h // A))
+        else:
+            parts.append(blk(seg, m // A))
+    return jnp.concatenate(parts, axis=1)
+
+
+def group_spectral(khf, G: int):
+    """Grouped spectral_fine_layout: [R, LANE, A] -> [R/G, LANE, G*A]."""
+    if G == 1:
+        return khf
+    R, _, A = khf.shape
+    return (khf.reshape(R // G, G, LANE, A).transpose(0, 2, 1, 3)
+            .reshape(R // G, LANE, G * A))
+
+
+def group_q(qrows, G: int, A: int):
+    """Per-row moduli [R, 1] -> per-lane [R/G, 1, 1, G*A]."""
+    R = qrows.shape[0]
+    return jnp.broadcast_to(qrows.reshape(R // G, G, 1),
+                            (R // G, G, A)).reshape(R // G, 1, 1, G * A)
 
 
 def apply_conv(x, tree, kh, khsh, q, interpret: bool = False,
@@ -479,6 +569,7 @@ def apply_conv(x, tree, kh, khsh, q, interpret: bool = False,
     n = x.shape[-1]
     lead = x.shape[:-1]
     A = n // LANE
+    G = row_group(n)
     if kh_layout == "cat":
         kh = jnp.swapaxes(kh.reshape(*kh.shape[:-1], A, LANE), -1, -2)
         khsh = jnp.swapaxes(khsh.reshape(*khsh.shape[:-1], A, LANE), -1, -2)
@@ -494,18 +585,22 @@ def apply_conv(x, tree, kh, khsh, q, interpret: bool = False,
                   .reshape(-1, A, 1, LANE)
 
     xf = x.reshape(-1, n)
-    args = [prep4(tree["tw_cat3"]), prep4(tree["tw_cat3_sh"]),
-            prep(tree["tw_fine"], n), prep(tree["tw_fine_sh"], n),
-            prep4(tree["itw_cat3"]), prep4(tree["itw_cat3_sh"]),
-            prep(tree["itw_fine"], n), prep(tree["itw_fine_sh"], n),
-            prep3(kh), prep3(khsh), prep(q, 1)]
     P = xf.shape[0]
     pad = (-P) % ROW_BLOCK
+    ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)) + ((0, 0),) *
+                            (a.ndim - 2), mode="edge")
     if pad:
-        ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)) + ((0, 0),) *
-                                (a.ndim - 2), mode="edge")
         xf = ext(xf)
-        args = [ext(a) for a in args]
+    gt = lambda a: group_fine_tables(ext(prep(a, n)) if pad
+                                     else prep(a, n), n, G)
+    gs = lambda a: group_spectral(ext(prep3(a)) if pad else prep3(a), G)
+    p4 = lambda a: ext(prep4(a)) if pad else prep4(a)
+    qrows = ext(prep(q, 1)) if pad else prep(q, 1)
+    args = [p4(tree["tw_cat3"]), p4(tree["tw_cat3_sh"]),
+            gt(tree["tw_fine"]), gt(tree["tw_fine_sh"]),
+            p4(tree["itw_cat3"]), p4(tree["itw_cat3_sh"]),
+            gt(tree["itw_fine"]), gt(tree["itw_fine_sh"]),
+            gs(kh), gs(khsh), qrows, group_q(qrows, G, A)]
     out = pallas_conv(xf, *args, n=n, interpret=interpret)
     if pad:
         out = out[:P]
@@ -536,16 +631,20 @@ def apply_ntt(x, tree, q, inverse: bool, interpret: bool = False):
         return jnp.broadcast_to(a, lead + (A, 1, LANE)) \
                   .reshape(-1, A, 1, LANE)
 
+    G = row_group(n)
     xf = x.reshape(-1, n)
-    args = [prep4(tw3), prep4(tsh3), prep(fine, n), prep(fsh, n),
-            prep(q, 1)]
     P = xf.shape[0]
     pad = (-P) % ROW_BLOCK
+    ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)) + ((0, 0),) *
+                            (a.ndim - 2), mode="edge")
     if pad:
-        ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)) + ((0, 0),) *
-                                (a.ndim - 2), mode="edge")
         xf = ext(xf)
-        args = [ext(a) for a in args]
+    gt = lambda a: group_fine_tables(ext(prep(a, n)) if pad
+                                     else prep(a, n), n, G)
+    p4 = lambda a: ext(prep4(a)) if pad else prep4(a)
+    qrows = ext(prep(q, 1)) if pad else prep(q, 1)
+    args = [p4(tw3), p4(tsh3), gt(fine), gt(fsh),
+            qrows, group_q(qrows, G, A)]
     out = pallas_ntt(xf, *args, n=n, inverse=inverse, interpret=interpret)
     if pad:
         out = out[:P]

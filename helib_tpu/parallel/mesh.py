@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..context import Context
 from ..keys import SecKey
 from ..pipeline import make_batched_mult_relin
+from ..exceptions import assert_true
 
 
 def make_mesh(n_devices: int | None = None, batch_axis: int | None = None):
@@ -31,7 +32,7 @@ def make_mesh(n_devices: int | None = None, batch_axis: int | None = None):
     if len(devs) < n:
         # virtual CPU mesh (xla_force_host_platform_device_count)
         devs = jax.devices("cpu")
-    assert len(devs) >= n, (len(devs), n)
+    assert_true(len(devs) >= n, (len(devs), n))
     devs = devs[:n]
     if batch_axis is None:
         # favor limb sharding up to 4-way, batch for the rest

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from ..ops.ntt import Pow2NTT, power_table, _stage_exponents
 from ..ops.modops import add_mod, sub_mod, mul_mod_shoup, shoup
 from ..nt.numbth import inv_mod
+from ..exceptions import assert_true
 
 U32 = jnp.uint32
 
@@ -56,7 +57,7 @@ class ShardedNTT:
 
     def __post_init__(self):
         n, A = self.n, self.A
-        assert n % A == 0 and A & (A - 1) == 0
+        assert_true(n % A == 0 and A & (A - 1) == 0, 'invariant: n % A == 0 and A & (A - 1) == 0')
         nB = n // A
         qs = np.asarray(self.qs, dtype=np.uint64)
         P = len(qs)
@@ -65,17 +66,17 @@ class ShardedNTT:
         E = base.eval_exponents.astype(object) % ordr
         blk = np.asarray(E).reshape(A, nB)
         # block invariants (same derivation as the fused-kernel four-step)
-        assert ((blk * nB) % ordr == (blk[:, :1] * nB) % ordr).all()
+        assert_true(((blk * nB) % ordr == (blk[:, :1] * nB) % ordr).all(), 'invariant: ((blk * nB) % ordr == (blk[:, :1] * nB) % ordr).all()')
         step = ordr // nB
         tj = (blk - blk[:, :1]) % ordr
-        assert (tj % step == 0).all()
+        assert_true((tj % step == 0).all(), 'invariant: (tj % step == 0).all()')
         tj = (tj // step).astype(np.int64)
-        assert (tj == tj[0:1]).all(), "within-block order must be shared"
+        assert_true((tj == tj[0:1]).all(), "within-block order must be shared")
         tj = tj[0]
         # verify t(j) equals the standalone nB recursion order (so the local
         # stage tables below reproduce exactly the same output ordering)
         _, Eb = _stage_exponents(nB, 0, nB)
-        assert tj.tolist() == list(Eb), "local order mismatch"
+        assert_true(tj.tolist() == list(Eb), "local order mismatch")
 
         W1 = np.zeros((P, A, A), dtype=np.uint32)
         TW = np.zeros((P, A, nB), dtype=np.uint32)

@@ -23,14 +23,15 @@ from functools import reduce
 import numpy as np
 
 from .nt.numbth import inv_mod
+from .exceptions import assert_true
 
 
 class PowerfulBasis:
     def __init__(self, m: int, mvec: list[int]):
-        assert reduce(lambda a, b: a * b, mvec, 1) == m
+        assert_true(reduce(lambda a, b: a * b, mvec, 1) == m, 'invariant: reduce(lambda a, b: a * b, mvec, 1) == m')
         for i in range(len(mvec)):
             for j in range(i + 1, len(mvec)):
-                assert math.gcd(mvec[i], mvec[j]) == 1
+                assert_true(math.gcd(mvec[i], mvec[j]) == 1, 'invariant: math.gcd(mvec[i], mvec[j]) == 1')
         self.m = m
         self.mvec = list(mvec)
         # CRT bijection: j  <->  tuple(j mod m_t); linear index of the tuple

@@ -143,6 +143,32 @@ def test_fat_constants(setup):
     np.testing.assert_array_equal(sk.decrypt_bgv(cc), sk.decrypt_bgv(cd))
 
 
+def test_encode_ptxt_api(setup):
+    """First-class EncodedPtxt surface (reference EncryptedArray::encode +
+    Ctxt::multByConstant/addConstant overloads, EncodedPtxt.h:142): the
+    slot-level encode_ptxt object routes through mul_by_constant /
+    add_constant in both host and fat form and matches the slotwise
+    oracle."""
+    from helib_tpu.ea import EncryptedArray
+    ctx, sk, pk, rng = setup
+    ea = EncryptedArray(ctx)
+    vals = rng.integers(0, ctx.ptxt_space, ea.nslots)
+    mult = rng.integers(0, ctx.ptxt_space, ea.nslots)
+    ct = ea.encrypt(list(vals), pk, rng)
+    ep = ea.encode_ptxt(list(mult))
+    assert ep.is_bgv and ep.space == ctx.ptxt_space
+    ca, cb = ct.copy(), ct.copy()
+    ca.mul_by_constant(ep)
+    cb.mul_by_constant(ep.fat(ctx))
+    expect = (vals * mult) % ctx.ptxt_space
+    np.testing.assert_array_equal(ea.decrypt_ints(ca, sk), expect)
+    np.testing.assert_array_equal(ea.decrypt_ints(cb, sk), expect)
+    cc = ct.copy()
+    cc.add_constant(ep)
+    np.testing.assert_array_equal(ea.decrypt_ints(cc, sk),
+                                  (vals + mult) % ctx.ptxt_space)
+
+
 def test_multiply_relin(setup):
     ctx, sk, pk, rng = setup
     p1, p2 = rand_ptxt(ctx, rng), rand_ptxt(ctx, rng)

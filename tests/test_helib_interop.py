@@ -26,12 +26,15 @@ import pytest
 FIXDIR = "/root/reference/tests/test_resources"
 
 
-@pytest.fixture(scope="module")
-def dump():
-    from helib_tpu.io_helib import read_legacy_dump
-    path = os.path.join(FIXDIR, "iotest_asciiLE.txt")
+@pytest.fixture(scope="module", params=["asciiLE.txt", "binLE.bin"])
+def dump(request):
+    path = os.path.join(FIXDIR, "iotest_" + request.param)
     if not os.path.exists(path):
         pytest.skip("reference fixtures not available")
+    if path.endswith(".bin"):
+        from helib_tpu.io_helib_bin import read_binary_dump
+        return read_binary_dump(path)
+    from helib_tpu.io_helib import read_legacy_dump
     return read_legacy_dump(path)
 
 
@@ -51,6 +54,56 @@ def test_endianness_fixtures_identical():
                                                b.ords)
     assert a.primes == b.primes
     assert a.pub_ptxt_space == b.pub_ptxt_space
+
+
+def test_binary_matches_ascii_exactly():
+    """The v1 binary and text fixtures of the SAME endianness were written
+    from the same in-memory objects in one Test_Bin_IO run — the parsed
+    dumps must agree field by field, including all key material.  This
+    pins the entire binary wire-format decode (io_helib_bin) against the
+    independently-parsed text format."""
+    from helib_tpu.io_helib import read_legacy_dump
+    from helib_tpu.io_helib_bin import read_binary_dump
+    for end in ("LE", "BE"):
+        at = os.path.join(FIXDIR, f"iotest_ascii{end}.txt")
+        bt = os.path.join(FIXDIR, f"iotest_bin{end}.bin")
+        if not (os.path.exists(at) and os.path.exists(bt)):
+            pytest.skip("reference fixtures not available")
+        a = read_legacy_dump(at)
+        b = read_binary_dump(bt)
+        assert (a.m, a.p, a.r, list(a.gens), list(a.ords)) == \
+               (b.m, b.p, b.r, list(b.gens), list(b.ords))
+        assert a.primes == b.primes
+        assert a.pub_ptxt_space == b.pub_ptxt_space
+        assert a.sk_rows == b.sk_rows
+        assert len(a.pub_enc_parts) == len(b.pub_enc_parts)
+        for (ha, pa, ra), (hb, pb, rb) in zip(a.pub_enc_parts,
+                                              b.pub_enc_parts):
+            assert tuple(ha) == tuple(hb)
+            assert list(pa) == list(pb)
+            assert ra == rb
+
+
+def test_binary_ks_matrices_wellformed():
+    """The four |KM[ key-switching matrices parse with sane metadata:
+    automorphism/square handles onto the base key, seed-compressed random
+    columns (reference writeSecKeyBinary / keySwitching layout)."""
+    from helib_tpu.io_helib_bin import read_binary_dump
+    path = os.path.join(FIXDIR, "iotest_binLE.bin")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not available")
+    d = read_binary_dump(path)
+    assert len(d.ks_matrices) >= 1
+    nprimes = len(d.primes)
+    for km in d.ks_matrices:
+        assert km.to_key == 0
+        assert km.ptxt_space % d.p == 0
+        assert km.prg_seed > 0
+        assert len(km.b_columns) >= 1
+        for pset, rows in km.b_columns:
+            assert list(pset) == list(range(nprimes))
+            assert all(len(row) == len(d.sk_rows[0]) for row in rows)
+    assert d.sk_hwts and all(h > 0 for h in d.sk_hwts)
 
 
 def test_prime_chain_properties(dump):

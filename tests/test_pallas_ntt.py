@@ -21,7 +21,7 @@ def _inv(x, tree):
 
 
 @pytest.mark.parametrize("n,negacyclic", [(256, True), (1024, True),
-                                          (512, False)])
+                                          (512, False), (2048, True)])
 def test_pallas_matches_jnp(n, negacyclic):
     qs = np.array(gen_primes(2 * n, 5), dtype=np.uint32)
     t = Pow2NTT(qs, n, negacyclic=negacyclic)
