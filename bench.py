@@ -27,12 +27,16 @@ def main():
     from helib_tpu.keys import SecKey
     from helib_tpu.pipeline import make_mult_relin
 
+    from helib_tpu.pipeline import make_batched_mult_relin
+    from helib_tpu.jitutil import lifted_jit
+
     m, p, bits, c = 8009, 2, 380, 3
+    B = 16                        # ops in flight (production serving batch)
     t0 = time.time()
     ctx = Context(m=m, p=p, r=1, bits=bits, c=c, scheme="bgv")
     sk = SecKey(ctx, seed=3)
-    fn, args = make_mult_relin(ctx, sk)
-    jfn = jax.jit(fn, donate_argnums=())
+    fn, args = make_batched_mult_relin(ctx, sk, B)
+    jfn = lifted_jit(fn, *args)   # tables as arguments, not HLO constants
     setup_s = time.time() - t0
 
     t0 = time.time()
@@ -40,13 +44,12 @@ def main():
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
-    # steady-state timing: chain outputs into the next call so every
-    # execution has fresh inputs (defeats any result caching in the runtime)
-    # while staying pipelined (no per-call host sync, which would measure
-    # host<->TPU latency instead of device throughput).
+    # steady-state THROUGHPUT timing: B ops per call, outputs chained into
+    # the next call so every execution has fresh inputs (defeats any result
+    # caching) while staying pipelined (no per-call host sync, which would
+    # measure host<->TPU latency instead of device throughput).
     def chain(n):
-        c0, c1 = args[0], args[1]
-        o0, o1 = jfn(c0, c1, args[2], args[3])
+        o0, o1 = jfn(*args)
         for _ in range(n - 1):
             o0, o1 = jfn(o0, o1, args[2], args[3])
         jax.block_until_ready((o0, o1))
@@ -55,12 +58,12 @@ def main():
     iters = 10
     t0 = time.time()
     chain(iters)
-    per_op = (time.time() - t0) / iters
-    if per_op < 0.2:
-        iters = max(20, int(3.0 / per_op))
+    per_op = (time.time() - t0) / iters / B
+    if per_op * B < 0.2:
+        iters = max(20, int(3.0 / (per_op * B)))
         t0 = time.time()
         chain(iters)
-        per_op = (time.time() - t0) / iters
+        per_op = (time.time() - t0) / iters / B
 
     ops_per_s = 1.0 / per_op
     print(json.dumps({

@@ -47,7 +47,8 @@ def bench_bgv(quick=False):
         ctx = Context(m=m, p=p, r=1, bits=bits, c=c, scheme="bgv")
         sk = SecKey(ctx, seed=2)
         fn, args = make_mult_relin(ctx, sk)
-        jfn = jax.jit(fn)
+        from helib_tpu.jitutil import lifted_jit
+        jfn = lifted_jit(fn, *args)
         setup_s = _t.time() - t0
 
         # chained steady-state timing (see bench.py): pipelined dispatch,
@@ -69,16 +70,95 @@ def bench_bgv(quick=False):
                           "setup_s": round(setup_s, 1),
                           "compile_s": round(compile_s, 1)}))
 
-        # add (elementwise) on the same shapes
+        # add (elementwise) on the same shapes — CHAINED, so the number
+        # is device time, not tunnel round-trip latency (round-2 weak 6:
+        # the old per-call-synced 23.8 ms figure was a measurement
+        # artifact)
         q, mu = ctx.dev_q(ctx.L, False)
         from helib_tpu.ops.modops import add_mod
         addj = jax.jit(lambda a, b: add_mod(a, b, q))
 
-        def run_add():
-            jax.block_until_ready(addj(args[0], args[2]))
-        per = timeit(run_add)
-        print(json.dumps({"metric": f"bgv_add_ms_{name}_m{m}",
+        def chain_add(n):
+            y = addj(args[0], args[2])
+            for _ in range(n - 1):
+                y = addj(y, args[2])
+            jax.block_until_ready(y)
+        chain_add(3)
+        iters = 200
+        t0 = _t.time(); chain_add(iters); per = (_t.time() - t0) / iters
+        print(json.dumps({"metric": f"bgv_add_us_{name}_m{m}",
+                          "value": round(per * 1e6, 1), "unit": "us"}))
+
+        # rotate-by-1 (automorph + key-switch; reference
+        # benchmarks/bgv_basic.cpp:167-189 rotate workload)
+        from helib_tpu.pipeline import make_automorph_relin
+        rfn, rargs = make_automorph_relin(ctx, sk)
+        jrot = lifted_jit(rfn, *rargs)
+
+        def chain_rot(n):
+            o0, o1 = jrot(*rargs)
+            for _ in range(n - 1):
+                o0, o1 = jrot(o0, o1)
+            jax.block_until_ready((o0, o1))
+        chain_rot(1)
+        chain_rot(3)
+        iters = 10
+        t0 = _t.time(); chain_rot(iters); per = (_t.time() - t0) / iters
+        if per < 0.1:
+            iters = max(20, int(2.0 / per))
+            t0 = _t.time(); chain_rot(iters); per = (_t.time() - t0) / iters
+        print(json.dumps({"metric": f"bgv_rotate_ms_{name}_m{m}",
                           "value": round(per * 1e3, 3), "unit": "ms"}))
+
+        # encrypt / decrypt (reference bgv_basic.cpp:191-210).  Encrypt is
+        # the device-side sampling pipeline chained over fresh PRNG keys;
+        # decrypt is timed per call (it necessarily ends host-side).
+        from helib_tpu.keys import PubKey
+        from helib_tpu.pipeline import make_encrypt
+        pk = sk.pubkey or PubKey(sk)
+        efn = make_encrypt(ctx, pk)
+        pt = args[0]
+        jenc = lifted_jit(efn, jax.random.PRNGKey(0), pt)
+
+        def chain_enc(n):
+            outs = None
+            for i in range(n):
+                outs = jenc(jax.random.PRNGKey(i), pt)
+            jax.block_until_ready(outs)
+        chain_enc(3)
+        iters = 20
+        t0 = _t.time(); chain_enc(iters); per = (_t.time() - t0) / iters
+        print(json.dumps({"metric": f"bgv_encrypt_ms_{name}_m{m}",
+                          "value": round(per * 1e3, 3), "unit": "ms"}))
+
+        import numpy as _np
+        from helib_tpu.ea import EncryptedArray
+        ea = EncryptedArray(ctx)
+        rng = _np.random.default_rng(5)
+        ct = ea.encrypt(list(rng.integers(0, 2, ea.nslots)), pk, rng)
+        ea.decrypt_ints(ct, sk)    # warm
+        t0 = _t.time()
+        for _ in range(5):
+            ea.decrypt_ints(ct, sk)
+        per = (_t.time() - t0) / 5
+        print(json.dumps({"metric": f"bgv_decrypt_ms_{name}_m{m}",
+                          "value": round(per * 1e3, 3), "unit": "ms"}))
+
+        # serialization IO round trip (reference benchmarks/IO.cpp:117-219)
+        import io as _io
+        from helib_tpu.io import write_ctxt, read_ctxt
+        buf = _io.BytesIO()
+        write_ctxt(buf, ct)
+        t0 = _t.time()
+        for _ in range(5):
+            b2 = _io.BytesIO()
+            write_ctxt(b2, ct)
+            b2.seek(0)
+            read_ctxt(b2, ctx, pk)
+        per = (_t.time() - t0) / 5
+        print(json.dumps({"metric": f"bgv_io_roundtrip_ms_{name}_m{m}",
+                          "value": round(per * 1e3, 3), "unit": "ms",
+                          "bytes": buf.tell()}))
 
 
 def bench_ntt(quick=False):
@@ -124,16 +204,30 @@ def bench_ckks(quick=False):
 
     for m, bits in ([(1024, 240)] if quick else [(16384, 360),
                                                  (65536, 440)]):
+        t0 = time.time()
         ctx = Context(m=m, p=-1, r=30, bits=bits, c=3, scheme="ckks")
         sk = SecKey(ctx, seed=2)
         fn, args = make_mult_relin(ctx, sk)
-        jfn = jax.jit(fn)
+        from helib_tpu.jitutil import lifted_jit
+        jfn = lifted_jit(fn, *args)
+        setup_s = time.time() - t0
 
-        def run():
-            jax.block_until_ready(jfn(*args))
-        per = timeit(run)
+        def chain(n):
+            o0, o1 = jfn(*args)
+            for _ in range(n - 1):
+                o0, o1 = jfn(o0, o1, args[2], args[3])
+            jax.block_until_ready((o0, o1))
+        t0 = time.time(); chain(1); compile_s = time.time() - t0
+        chain(3)
+        iters = 10
+        t0 = time.time(); chain(iters); per = (time.time() - t0) / iters
+        if per < 0.1:
+            iters = max(20, int(2.0 / per))
+            t0 = time.time(); chain(iters); per = (time.time() - t0) / iters
         print(json.dumps({"metric": f"ckks_mult_relin_ms_m{m}_b{bits}",
-                          "value": round(per * 1e3, 3), "unit": "ms"}))
+                          "value": round(per * 1e3, 3), "unit": "ms",
+                          "setup_s": round(setup_s, 1),
+                          "compile_s": round(compile_s, 1)}))
 
 
 if __name__ == "__main__":

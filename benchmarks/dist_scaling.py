@@ -36,10 +36,11 @@ from helib_tpu.context import Context
 from helib_tpu.keys import SecKey
 from helib_tpu.parallel.distributed import global_mesh, sharded_pipeline
 
-ctx = Context(m=45, p=2, r=1, bits=118, c=3, scheme="bgv")
+m = int(sys.argv[6]); bits = int(sys.argv[7]); batch = int(sys.argv[8])
+ctx = Context(m=m, p=2, r=1, bits=bits, c=3, scheme="bgv")
 sk = SecKey(ctx, seed=1)
 mesh = global_mesh(limb=2)
-jfn, ex = sharded_pipeline(ctx, sk, mesh, global_batch=32)
+jfn, ex = sharded_pipeline(ctx, sk, mesh, global_batch=batch)
 with mesh:
     out = jfn(*ex); jax.block_until_ready(out)      # compile
     t0 = time.time()
@@ -52,7 +53,8 @@ if pid == 0:
 """
 
 
-def run_config(nproc: int, iters: int) -> float:
+def run_config(nproc: int, iters: int, m: int = 45, bits: int = 118,
+               batch: int = 32) -> float:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = str(s.getsockname()[1])
@@ -63,7 +65,7 @@ def run_config(nproc: int, iters: int) -> float:
     env = dict(os.environ, PYTHONPATH=REPO)
     procs = [subprocess.Popen(
         [sys.executable, script, str(nproc), str(i), port, str(iters),
-         str(devs_per_proc)],
+         str(devs_per_proc), str(m), str(bits), str(batch)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(nproc)]
     outs = [p.communicate(timeout=900)[0].decode() for p in procs]
@@ -82,17 +84,22 @@ def run_config(nproc: int, iters: int) -> float:
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    t1 = run_config(1, iters)
-    t2 = run_config(2, iters)
-    eff = t1 / t2
-    print(json.dumps({"metric": "dist_mult_relin_sec_per_batch_1proc",
-                      "value": round(t1, 4), "unit": "s"}))
-    print(json.dumps({"metric": "dist_mult_relin_sec_per_batch_2proc",
-                      "value": round(t2, 4), "unit": "s"}))
-    print(json.dumps({"metric": "dist_scaling_efficiency_2proc",
-                      "value": round(eff, 3), "unit": "x",
-                      "note": "virtual CPU devices; measures SPMD/collective "
-                              "overhead, not ICI"}))
+    # small config (round-2 setting) + big config where per-step compute
+    # amortizes the collective overhead (round-3 item 7: the gate must be
+    # measured where it CAN pass)
+    for tag, m, bits, batch, it in (("small", 45, 118, 32, iters),
+                                    ("big", 257, 236, 64, max(2, iters // 2))):
+        t1 = run_config(1, it, m, bits, batch)
+        t2 = run_config(2, it, m, bits, batch)
+        eff = t1 / t2
+        print(json.dumps({"metric": f"dist_mult_relin_sec_per_batch_1proc_{tag}",
+                          "value": round(t1, 4), "unit": "s"}))
+        print(json.dumps({"metric": f"dist_mult_relin_sec_per_batch_2proc_{tag}",
+                          "value": round(t2, 4), "unit": "s"}))
+        print(json.dumps({"metric": f"dist_scaling_efficiency_2proc_{tag}",
+                          "value": round(eff, 3), "unit": "x",
+                          "note": "virtual CPU devices; measures "
+                                  "SPMD/collective overhead, not ICI"}))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-3 benchmark queue: every reference-workload analog on the real TPU,
+# sequentially (ONE TPU client at a time — concurrent clients have crashed
+# the remote-compile tunnel), per-step timeouts, results to
+# benchmarks/results_r3.log (JSON lines + setup notes).
+cd "$(dirname "$0")/.." || exit 1
+LOG="${1:-benchmarks/results_r3.log}"
+: > "$LOG"
+run() {
+  local name="$1" tmo="$2"; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
+  timeout "$tmo" "$@" 2>&1 | grep -vE "WARNING:|E08|Loading XLA" | tee -a "$LOG"
+  echo "--- exit=$? ---" | tee -a "$LOG"
+}
+
+run headline       900  python bench.py
+run ntt            1200 python benchmarks/bench_suite.py suite=ntt
+run bgv            2400 python benchmarks/bench_suite.py suite=bgv
+run ckks           3000 python benchmarks/bench_suite.py suite=ckks
+run thinboot_tiny  2400 python benchmarks/thinboot_bench.py tiny 2
+run fatboot_tiny   4800 python benchmarks/fatboot_bench.py tiny 1
+run thinboot_small 9000 python benchmarks/thinboot_bench.py small 2
+run bgv_big        6000 env HELIB_BENCH_BIG=1 python benchmarks/bench_suite.py suite=bgv
+run thinboot_big   9000 python benchmarks/thinboot_bench.py big 1
+run fatboot_small  9000 python benchmarks/fatboot_bench.py small 1
+echo "QUEUE DONE $(date -u)" | tee -a "$LOG"

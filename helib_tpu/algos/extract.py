@@ -63,11 +63,12 @@ def extract_digits(ctxt, sk, r: int | None = None) -> list:
     x2p = build_digit_polynomial(p, r) if p > 3 else None
 
     digits = [None] * r
+    from ..recryption import _boot_trace, _boot_sync
     for i in range(r):
-        from ..recryption import _boot_trace
         _boot_trace(f"extractDigits round {i}/{r} (k={ctxt.k})")
         tmp = ctxt.copy()
         for j in range(i):
+            _boot_trace(f"  digit {j}: lift (k={digits[j].k})")
             if p == 2:
                 digits[j] = digits[j].square(sk)
             elif p == 3:
@@ -75,8 +76,11 @@ def extract_digits(ctxt, sk, r: int | None = None) -> list:
                     digits[j], sk)
             else:
                 digits[j] = poly_eval(x2p, digits[j], sk)
+            _boot_sync(digits[j])
+            _boot_trace(f"  digit {j}: sub+divide (k={tmp.k})")
             tmp = tmp.sub(digits[j])
             tmp.divide_by_p()
+            _boot_sync(tmp)
         digits[i] = tmp
     return digits
 

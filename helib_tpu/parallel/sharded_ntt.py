@@ -197,3 +197,62 @@ class ShardedNTT:
         S = mul_mod_shoup(S, t["TWi"], t["TWi_sh"], t["q"])
         S = self._coarse(S, t["W1i"], t["W1i_sh"])
         return S.reshape(*y.shape[:-1], self.n)
+
+
+def sharded_bluestein_ntt(bt) -> ShardedNTT:
+    """Build the phi(m)-axis-sharded four-step transform for the length-B
+    auxiliary convolutions of a BluesteinTables instance (the large-m
+    bootstrap NTT path: at m=31775 a single forward DFT is three B=65536
+    convolutions per limb row — the transform axis is the one worth
+    sharding, SURVEY §2.9)."""
+    from ..ops.ntt import aux_primes
+    return ShardedNTT(aux_primes(), bt.B, negacyclic=False,
+                      A=_default_shards(bt.B))
+
+
+def _default_shards(B: int) -> int:
+    import jax
+    return min(8, max(2, len(jax.devices("cpu")
+                              if jax.default_backend() != "tpu"
+                              else jax.devices())))
+
+
+def bluestein_apply_sharded(x, t, m: int, B: int, sntt: ShardedNTT):
+    """ops.ntt.bluestein_apply with the B-point convolutions running on the
+    phi(m)-axis-sharded four-step NTT: the A-block axis of the [A, B/A]
+    view is the mesh axis; the coarse stage is the single cross-shard
+    exchange (1x tensor volume), twist + local transforms + the pointwise
+    khat multiply are shard-local.
+
+    x: [..., P, m] residues; t: BluesteinTables.dev.  Bit-exact vs
+    bluestein_apply (the khat tables are in Pow2NTT eval order, which
+    ShardedNTT.fwd reproduces exactly).
+
+    Per-limb collective volume: one A-block exchange of 3*B u32 words for
+    the forward and one for the inverse transform = 6*B*4 bytes ~ 1.5 MiB
+    at B=65536 — a few microseconds of ICI per mod-down row against
+    ~50 us of butterfly compute, so the exchange is not the bottleneck
+    on a real multi-chip mesh (BASELINE.md scaling note)."""
+    from ..ops.modops import mul_mod_shoup as mms, add_mod as addm, reduce_u32
+    q = t["q"]
+    a = mms(x, t["u_in"], t["u_in_sh"], q)                 # [..., P, m]
+    a3 = reduce_u32(a[..., None, :, :], t["aux_q"])        # [..., 3, P, m]
+    pad = [(0, 0)] * (a3.ndim - 1) + [(0, B - m)]
+    ap = jnp.pad(a3, pad)
+    # ShardedNTT tables broadcast as [3, ...]; put the limb axis in front
+    apl = jnp.swapaxes(ap, -3, -2)                         # [..., P, 3, B]
+    A = sntt.fwd(apl)
+    kh = jnp.swapaxes(t["khat"], 0, 1)                     # [P, 3, B]
+    khs = jnp.swapaxes(t["khat_sh"], 0, 1)
+    aux_q = t["aux_q"][:, 0]                               # [3, 1]
+    Pr = mms(A, kh, khs, aux_q)
+    p = jnp.swapaxes(sntt.inv(Pr), -3, -2)                 # [..., 3, P, B]
+    y = mms(p, t["yt_inv"], t["yt_inv_sh"], t["aux_q"])
+    alpha = jnp.floor(jnp.sum(y.astype(jnp.float32) * t["inv_r_f32"],
+                              axis=-3) + jnp.float32(0.25)).astype(U32)
+    terms = mms(y, t["Rt_mod_q"], t["Rt_mod_q_sh"], q[None])
+    acc = addm(addm(terms[..., 0, :, :], terms[..., 1, :, :], q),
+               terms[..., 2, :, :], q)
+    corr = mms(alpha, t["negR"], t["negR_sh"], q)
+    V = addm(acc, corr, q)[..., :m]
+    return mms(V, t["u_out"], t["u_out_sh"], q)
