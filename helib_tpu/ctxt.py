@@ -139,6 +139,52 @@ class Ctxt:
         rounding = ctx.noise_uniform(math.log2(ps / 2.0))
         return acc + rounding
 
+    def _measured_modswitch_noise(self, old_parts, new_parts, D: int,
+                                  new_k: int, new_special: bool) -> float:
+        """EXACT canonical-embedding norm of the mod-switch delta
+        (reference behavior at Ctxt.cpp:491-503, where modDownToSet
+        measures the actual noise added instead of using the worst-case
+        bound).  Enabled by HELIB_EXACT_MODSWITCH=1.
+
+        The rounding remainder of part j is r_j = D * v'_j - v_j, an
+        integer polynomial with |coeffs| <= ~D * ptxt_space / 2; the
+        added noise is ||r_j||_can / D.  r_j's residues on the remaining
+        rows are computed pointwise in the eval domain, one inverse NTT +
+        balanced CRT lift recovers exact coefficients, and one complex
+        FFT gives the canonical norm.  Each part's norm is scaled by the
+        key-power bound B_s^powS, matching mod_switch_added_noise."""
+        import numpy as np
+        import jax.numpy as jnp
+        from . import dcrt
+        from .norms import embedding_largest_coeff_log2
+        ctx = self.ctx
+        rows = ctx.rows_of(new_k, new_special)
+        qs = ctx.all_q[np.array(rows)].astype(np.uint64)
+        D_mod = jnp.asarray(np.array([D % int(q) for q in qs],
+                                     dtype=np.uint64)[:, None])
+        qs_d = jnp.asarray(qs[:, None])
+        acc = NEG_INF
+        old_rows = ctx.rows_of(self.k, self.special)
+        pos = np.array([old_rows.index(r) for r in rows])
+        for (h, old_d), (_, new_d) in zip(old_parts, new_parts):
+            v = jnp.take(old_d, jnp.asarray(pos), axis=-2).astype(jnp.uint64)
+            vp = new_d.astype(jnp.uint64)
+            r_rt = (vp * D_mod % qs_d + qs_d - v % qs_d) % qs_d
+            coeffs_rt = ctx.inv_ntt(r_rt.astype(jnp.uint32), tuple(rows))
+            res = np.asarray(coeffs_rt)
+            if res.ndim > 2:
+                res = res.reshape(-1, *res.shape[-2:])[0]
+            coeffs = dcrt.crt_reconstruct(ctx, res, tuple(rows))
+            if not any(int(c) for c in coeffs):
+                continue
+            norm = embedding_largest_coeff_log2(coeffs, ctx.m,
+                                                ctx.pal.pow2)
+            norm -= math.log2(D)
+            bound = norm + (h.powS * self.pubkey.sk_bound
+                            if not h.is_one else 0.0)
+            acc = log2_add(acc, bound)
+        return acc if acc > NEG_INF else self.mod_switch_added_noise()
+
     # ------------------------------------------------------- mod switching
     def mod_down_to(self, new_k: int, new_special: bool):
         """Real modulus switching down (reference Ctxt::modDownToSet)."""
@@ -154,10 +200,16 @@ class Ctxt:
         D = 1
         for ridx in old_rows - new_rows:
             D *= int(self.ctx.all_q[ridx])
+        old_parts = self.parts
         new_parts = []
         for h, data in self.parts:
             new_parts.append((h, rt_scale_down(
                 self.ctx, data, self.k, self.special, new_k, new_special, ps)))
+        import os
+        if (os.environ.get("HELIB_EXACT_MODSWITCH")
+                and not self.is_ckks and self.ctx.phi_m <= (1 << 16)):
+            added = min(added, self._measured_modswitch_noise(
+                old_parts, new_parts, D, new_k, new_special))
         self.parts = new_parts
         self.k, self.special = new_k, new_special
         drop_bits -= self.log2_modulus()

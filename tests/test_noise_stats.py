@@ -82,3 +82,38 @@ def test_deep_circuit_estimate_tracks_measured(stats_on):
     assert ct.is_correct()
     # the estimate must not be vacuous either: within ~40 bits of measured
     assert min(headroom) < 40, headroom
+
+
+def test_exact_modswitch_noise_tightens_estimate(monkeypatch):
+    """HELIB_EXACT_MODSWITCH=1 (reference Ctxt.cpp:491-503 behavior:
+    measure the actual mod-switch delta norm instead of the worst-case
+    bound): the measured ciphertext must decrypt identically and report
+    noise <= the estimate-only ciphertext, i.e. MORE capacity."""
+    import os
+    ctx = Context(m=31, p=2, r=1, bits=400, c=3, scheme="bgv")
+    sk = SecKey(ctx, seed=11)
+    pk = PubKey(sk)
+    ea = EncryptedArray(ctx)
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 2, ea.nslots)
+
+    def run(exact):
+        if exact:
+            monkeypatch.setenv("HELIB_EXACT_MODSWITCH", "1")
+        else:
+            monkeypatch.delenv("HELIB_EXACT_MODSWITCH", raising=False)
+        r2 = np.random.default_rng(13)
+        ct = ea.encrypt(list(vals), pk, r2)
+        ct = ct.square(sk)
+        ct = ct.square(sk)
+        got = ea.decrypt_ints(ct, sk)
+        return ct, got
+
+    ct_b, got_b = run(False)
+    ct_e, got_e = run(True)
+    np.testing.assert_array_equal(got_b, vals)
+    np.testing.assert_array_equal(got_e, vals)
+    # the measured-noise ciphertext never reports MORE noise, and after a
+    # couple of squarings it should be strictly tighter
+    assert ct_e.noise <= ct_b.noise + 1e-9, (ct_e.noise, ct_b.noise)
+    assert ct_e.capacity() >= ct_b.capacity() - 1e-9
