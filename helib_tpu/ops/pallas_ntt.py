@@ -405,21 +405,25 @@ def pallas_ntt(x, tw3, tsh3, gfine, gfsh, q, qg4, *, n: int,
     (group_fine_tables); qg4: [P/G, 1, 1, G*A] per-lane moduli."""
     P = x.shape[0]
     G = row_group(n)
-    assert_true(P % ROW_BLOCK == 0 and ROW_BLOCK % G == 0, (P, G))
-    grid = (P // ROW_BLOCK,)
+    # grouped tables have P/G rows; keep >= 8 sublanes per block by scaling
+    # the per-program row count to ROW_BLOCK*G (Pallas requires the last
+    # two block dims divisible by (8, 128))
+    RB = ROW_BLOCK * G
+    assert_true(P % RB == 0, (P, G))
+    grid = (P // RB,)
     A = max(n // LANE, 1)
     W = G * A
-    RB2 = ROW_BLOCK // G
     kern = functools.partial(_ntt_kernel, n=n, inverse=inverse)
     zero = np.int32(0)   # keep index_map outputs i32 under jax_enable_x64
-    bs = lambda w: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, zero),
+    bs = lambda w: pl.BlockSpec((RB, w), lambda i: (i, zero),
                                 memory_space=pltpu.VMEM)
-    bsg = pl.BlockSpec((RB2, G * n), lambda i: (i, zero),
+    bsg = pl.BlockSpec((ROW_BLOCK, G * n), lambda i: (i, zero),
                        memory_space=pltpu.VMEM)
-    bs4 = pl.BlockSpec((ROW_BLOCK, A, 1, LANE),
+    bs4 = pl.BlockSpec((RB, A, 1, LANE),
                        lambda i: (i, zero, zero, zero),
                        memory_space=pltpu.VMEM)
-    bsq4 = pl.BlockSpec((RB2, 1, 1, W), lambda i: (i, zero, zero, zero),
+    bsq4 = pl.BlockSpec((ROW_BLOCK, 1, 1, W),
+                        lambda i: (i, zero, zero, zero),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
@@ -474,23 +478,24 @@ def pallas_conv(x, tw3, tsh3, gfine, gfsh, itw3, itsh3, gifine, gifsh,
     [P/G, LANE, G*A]."""
     P = x.shape[0]
     G = row_group(n)
-    assert_true(P % ROW_BLOCK == 0 and ROW_BLOCK % G == 0, 'invariant: P % ROW_BLOCK == 0 and ROW_BLOCK % G == 0')
-    grid = (P // ROW_BLOCK,)
+    RB = ROW_BLOCK * G          # see pallas_ntt: 8 sublanes per block
+    assert_true(P % RB == 0, (P, G))
+    grid = (P // RB,)
     A = max(n // LANE, 1)
     W = G * A
-    RB2 = ROW_BLOCK // G
     kern = functools.partial(_conv_kernel, n=n)
     zero = np.int32(0)
-    bs = lambda w: pl.BlockSpec((ROW_BLOCK, w), lambda i: (i, zero),
+    bs = lambda w: pl.BlockSpec((RB, w), lambda i: (i, zero),
                                 memory_space=pltpu.VMEM)
-    bsg = pl.BlockSpec((RB2, G * n), lambda i: (i, zero),
+    bsg = pl.BlockSpec((ROW_BLOCK, G * n), lambda i: (i, zero),
                        memory_space=pltpu.VMEM)
-    bs3 = pl.BlockSpec((RB2, LANE, W), lambda i: (i, zero, zero),
+    bs3 = pl.BlockSpec((ROW_BLOCK, LANE, W), lambda i: (i, zero, zero),
                        memory_space=pltpu.VMEM)
-    bs4 = pl.BlockSpec((ROW_BLOCK, A, 1, LANE),
+    bs4 = pl.BlockSpec((RB, A, 1, LANE),
                        lambda i: (i, zero, zero, zero),
                        memory_space=pltpu.VMEM)
-    bsq4 = pl.BlockSpec((RB2, 1, 1, W), lambda i: (i, zero, zero, zero),
+    bsq4 = pl.BlockSpec((ROW_BLOCK, 1, 1, W),
+                        lambda i: (i, zero, zero, zero),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
@@ -570,6 +575,7 @@ def apply_conv(x, tree, kh, khsh, q, interpret: bool = False,
     lead = x.shape[:-1]
     A = n // LANE
     G = row_group(n)
+    RB = ROW_BLOCK * G
     if kh_layout == "cat":
         kh = jnp.swapaxes(kh.reshape(*kh.shape[:-1], A, LANE), -1, -2)
         khsh = jnp.swapaxes(khsh.reshape(*khsh.shape[:-1], A, LANE), -1, -2)
@@ -586,7 +592,7 @@ def apply_conv(x, tree, kh, khsh, q, interpret: bool = False,
 
     xf = x.reshape(-1, n)
     P = xf.shape[0]
-    pad = (-P) % ROW_BLOCK
+    pad = (-P) % RB
     ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)) + ((0, 0),) *
                             (a.ndim - 2), mode="edge")
     if pad:
@@ -632,9 +638,10 @@ def apply_ntt(x, tree, q, inverse: bool, interpret: bool = False):
                   .reshape(-1, A, 1, LANE)
 
     G = row_group(n)
+    RB = ROW_BLOCK * G
     xf = x.reshape(-1, n)
     P = xf.shape[0]
-    pad = (-P) % ROW_BLOCK
+    pad = (-P) % RB
     ext = lambda a: jnp.pad(a, ((0, pad), (0, 0)) + ((0, 0),) *
                             (a.ndim - 2), mode="edge")
     if pad:
