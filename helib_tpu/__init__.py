@@ -29,7 +29,9 @@ _cache_dir = os.environ.get("HELIB_TPU_XLA_CACHE",
 try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist even the small per-shape programs: setup paths dispatch many
+    # ~0.3-0.9 s compiles whose aggregate dominates Context/keygen latency
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 except Exception:  # cache is an optimization only
     pass
 

@@ -20,12 +20,13 @@ from ..dcrt import (rt_break_into_digits, rt_add_special_and_scale,
 
 
 class AutomorphPrecon:
-    def __init__(self, ctxt: Ctxt, sk):
+    def __init__(self, ctxt: Ctxt, key):
+        """key: PubKey or SecKey (evaluation needs only `.matrices`)."""
         ctxt = ctxt.copy()
-        ctxt.relinearize(sk)
+        ctxt.relinearize(key)
         ctxt.drop_special_primes()
         self.base = ctxt
-        self.sk = sk
+        self.sk = key   # historical attribute name; any evaluation key
         ctx = ctxt.ctx
         parts = dict((h.powS, d) for h, d in ctxt.parts)
         self.c0 = parts[0]
@@ -44,7 +45,8 @@ class AutomorphPrecon:
         kexp %= ctx.m
         if kexp == 1:
             return base.copy()
-        W = self.sk.gen_ks_matrix(SKHandle(1, kexp, 0))
+        from ..keys import get_ks_matrix
+        W = get_ks_matrix(self.sk, SKHandle(1, kexp, 0))
         q, mu = ctx.dev_q(k, True)
         rows = ctx.rows_of(k, True)
         acc0 = rt_add_special_and_scale(ctx, rt_automorph(ctx, self.c0, kexp),

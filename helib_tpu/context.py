@@ -220,22 +220,22 @@ class Context:
         """NTT table pytree restricted to the given prime rows (indices into
         all_q; ctxt primes are rows [0, L), special primes [L, L+S)).
 
-        Cache misses may occur inside a jit trace; ensure_compile_time_eval
-        keeps the sliced tables concrete (cacheable) constants."""
-        import jax
+        Tables are HOST numpy (ops/ntt._host): subsetting is plain numpy
+        fancy-indexing, so a cache miss inside a jit trace costs no eager
+        device ops (round-3 setup was dominated by per-slice XLA gather
+        compiles under ensure_compile_time_eval)."""
         key = ("ntt", rows)
         if key in self._dev_cache:
             return self._dev_cache[key]
-        with jax.ensure_compile_time_eval():
-            idx = np.array(rows, dtype=np.int64)
-            if self.pal.pow2:
-                full = self.ntt_fwd.tree()
-                sub = {kk: ([a[idx] for a in v] if isinstance(v, list)
-                            else v[idx]) for kk, v in full.items()}
-                tree = {"fwd": sub, "inv": sub}
-            else:
-                tree = {"fwd": _bluestein_rows(self.ntt_fwd.dev, idx),
-                        "inv": _bluestein_rows(self.ntt_inv.dev, idx)}
+        idx = np.array(rows, dtype=np.int64)
+        if self.pal.pow2:
+            full = self.ntt_fwd.tree()
+            sub = {kk: ([a[idx] for a in v] if isinstance(v, list)
+                        else v[idx]) for kk, v in full.items()}
+            tree = {"fwd": sub, "inv": sub}
+        else:
+            tree = {"fwd": _bluestein_rows(self.ntt_fwd.dev, idx),
+                    "inv": _bluestein_rows(self.ntt_inv.dev, idx)}
         self._dev_cache[key] = tree
         return tree
 

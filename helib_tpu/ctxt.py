@@ -433,20 +433,24 @@ class Ctxt:
         b.bring_to_k(tk)
         return a.tensor(b)
 
-    def multiply(self, other: "Ctxt", sk: SecKey) -> "Ctxt":
+    def multiply(self, other: "Ctxt", key) -> "Ctxt":
+        """key: any evaluation key holding the needed KS matrices — a PubKey
+        for sk-free server-side evaluation, or a SecKey (dev convenience,
+        mints missing matrices with a warning; see keys.get_ks_matrix)."""
         out = self.mul_low_level(other)
-        out.relinearize(sk)
+        out.relinearize(key)
         return out
 
-    def square(self, sk: SecKey) -> "Ctxt":
-        return self.multiply(self, sk)
+    def square(self, key) -> "Ctxt":
+        return self.multiply(self, key)
 
     # ------------------------------------------------------- key switching
-    def relinearize(self, sk: SecKey, to_key: int = 0):
+    def relinearize(self, key, to_key: int = 0):
         """Reference Ctxt::reLinearize (Ctxt.cpp:718-786): mod-up by special
         primes, key-switch all non-canonical parts, leave specials in.
         `to_key` selects the target secret (reference reLinearize(keyID) —
-        used to switch onto the sparse recryption key, recryption.cpp:431)."""
+        used to switch onto the sparse recryption key, recryption.cpp:431).
+        `key`: PubKey or SecKey; only its `.matrices` are consulted."""
         ctx = self.ctx
         if all(h.is_one or h.is_base(to_key) for h, _ in self.parts):
             return self
@@ -467,7 +471,8 @@ class Ctxt:
             if h.is_one or h.is_base(to_key):
                 add_acc(h, rt_add_special_and_scale(ctx, d, k))
                 continue
-            W = sk.gen_ks_matrix(h, to_key=to_key)
+            from .keys import get_ks_matrix
+            W = get_ks_matrix(key, h, to_key=to_key)
             if W.ptxt_space > 1 and self.ptxt_space > 1:
                 g = math.gcd(W.ptxt_space, self.ptxt_space)
                 self.ptxt_space = g
@@ -504,36 +509,38 @@ class Ctxt:
         self.parts = new_parts
         return self
 
-    def smart_automorph(self, kexp: int, sk: SecKey):
+    def smart_automorph(self, kexp: int, key):
         """automorph + key switch back to (1, s); if no exact matrix is
         available, chain hops through available matrices (reference
-        Ctxt::smartAutomorph, Ctxt.cpp:2462-2515)."""
-        self.relinearize(sk)   # ensure canonical (1, s) form first
+        Ctxt::smartAutomorph + keySwitchMap, Ctxt.cpp:2462-2515).  `key`:
+        PubKey or SecKey — the hop search runs over `key.matrices` first,
+        so a strategy-configured PubKey never needs secret material."""
+        self.relinearize(key)   # ensure canonical (1, s) form first
         kexp %= self.ctx.m
         if kexp == 1:
             return self
         from .dryrun import note_automorph
         note_automorph(kexp)   # planning mode: record required automorphisms
-        if (1, kexp) not in sk.matrices:
+        if (1, kexp) not in key.matrices:
             from .ksstrategy import hop_path
-            path = hop_path(sk, kexp)
+            path = hop_path(key, kexp)
             if path:
                 for a in path:
                     self.automorph(a)
-                    self.relinearize(sk)
+                    self.relinearize(key)
                 return self
         self.automorph(kexp)
-        self.relinearize(sk)
+        self.relinearize(key)
         return self
 
-    def frobenius(self, j: int, sk: SecKey):
+    def frobenius(self, j: int, key):
         """X -> X^{p^j} (reference Ctxt::frobeniusAutomorph)."""
         val = pow(self.ctx.p, j, self.ctx.m)
-        return self.smart_automorph(val, sk)
+        return self.smart_automorph(val, key)
 
-    def conjugate(self, sk: SecKey):
+    def conjugate(self, key):
         """CKKS complex conjugation = X -> X^{-1} (m-1)."""
-        return self.smart_automorph(self.ctx.m - 1, sk)
+        return self.smart_automorph(self.ctx.m - 1, key)
 
     def trace_map(self, sk: SecKey):
         """Trace over the slot extension: sum_{i<d} sigma_{p^i} — leaves a

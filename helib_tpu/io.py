@@ -157,13 +157,12 @@ def read_seckey(f, ctx: Context) -> SecKey:
 
 
 def write_pubkey(f, pk: PubKey, include_matrices: bool = True):
-    sk = pk.sk
     meta = {"enc_noise": pk.enc_noise, "sk_bound": pk.sk_bound,
             "handles": [[h.powS, h.powX, h.keyID] for h, _ in pk.enc_key],
             "matrices": []}
     arrays = [np.asarray(d) for _, d in pk.enc_key]
     if include_matrices:
-        for key, W in sk.matrices.items():
+        for key, W in pk.matrices.items():
             meta["matrices"].append(
                 {"from": [W.from_handle.powS, W.from_handle.powX,
                           W.from_handle.keyID],
@@ -185,7 +184,6 @@ def read_pubkey(f, ctx: Context, sk: SecKey | None = None) -> PubKey:
     hdr, arrays = _read_block(f, "PubKey")
     pk = PubKey.__new__(PubKey)
     pk.ctx = ctx
-    pk.sk = sk
     pk.enc_noise = hdr["enc_noise"]
     pk.sk_bound = hdr["sk_bound"]
     nenc = len(hdr["handles"])
@@ -211,9 +209,15 @@ def read_pubkey(f, ctx: Context, sk: SecKey | None = None) -> PubKey:
         matrices[mkey] = KSMatrix(h, mm["ptxt_space"], b, a_,
                                   mm["noise"], seed, to_key)
     if sk is not None:
+        # re-attach to a deserialized SecKey: share one dict (mirrors
+        # PubKey.__init__) so later gen_ks_matrix calls land in both views
         sk.matrices.update(matrices)
         sk.pubkey = pk
-    pk._matrices = matrices
+        pk.matrices = sk.matrices
+    else:
+        # standalone PubKey: these matrices ARE the evaluation key —
+        # relinearize/smart_automorph consume them via keys.find_ks_matrix
+        pk.matrices = matrices
     return pk
 
 

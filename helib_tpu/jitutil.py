@@ -32,6 +32,25 @@ except ImportError:                 # pragma: no cover
 # adds argument-plumbing overhead)
 _LIFT_BYTES = 4096
 
+# host-table -> device-buffer dedup: the same numpy table (NTT twiddles,
+# Bluestein kernels) is lifted by MANY jits; upload it once and alias the
+# buffer thereafter.  Keyed by id() — context tables are process-lifetime
+# objects, and we keep a reference to the source array so ids can't be
+# recycled while the cache entry lives.
+_DEVICE_CACHE: dict = {}
+
+
+def _to_device(c):
+    if isinstance(c, jax.Array):
+        return c
+    key = id(c)
+    hit = _DEVICE_CACHE.get(key)
+    if hit is not None and hit[0] is c:
+        return hit[1]
+    dev = jnp.asarray(c)
+    _DEVICE_CACHE[key] = (c, dev)
+    return dev
+
 
 def lifted_jit(fn, *example_args):
     """Trace `fn` on `example_args` (shapes only), lift its large array
@@ -45,7 +64,7 @@ def lifted_jit(fn, *example_args):
                if getattr(c, "nbytes", 0) >= _LIFT_BYTES]
     big_set = set(big_idx)
     small = [c if i not in big_set else None for i, c in enumerate(consts)]
-    big = [jnp.asarray(consts[i]) for i in big_idx]   # by reference
+    big = [_to_device(consts[i]) for i in big_idx]    # deduped upload
 
     def run_flat(big_consts, *flat_args):
         full = list(small)
@@ -58,7 +77,16 @@ def lifted_jit(fn, *example_args):
 
     def run(*args):
         flat, _ = jax.tree.flatten(args)
-        return jrun(big, *flat)
+        try:
+            return jrun(big, *flat)
+        except Exception as e:  # one retry for transient tunnel failures
+            msg = str(e)
+            if ("remote_compile" in msg or "response body closed" in msg
+                    or "Connection reset" in msg):
+                import time
+                time.sleep(2.0)
+                return jrun(big, *flat)
+            raise
 
     run.lifted_bytes = sum(c.nbytes for c in big)
     run.n_lifted = len(big)

@@ -288,10 +288,21 @@ def reduce_mod_phim(coeffs: np.ndarray, ctx: Context, modulus: int) -> np.ndarra
 
 
 class PubKey:
+    """Public evaluation key: an encryption of zero + the key-switching
+    matrices (reference keys.h:48-318 — PubKey owns `keySwitching` and
+    `keySwitchMap`, so a server holding only the PubKey can relinearize,
+    rotate, and bootstrap).  Holds NO reference to the secret key.
+
+    `matrices` is SHARED with the generating SecKey's dict (the reference
+    expresses the same sharing by inheritance: SecKey IS-A PubKey, and
+    GenKeySWmatrix pushes onto the PubKey half, keys.cpp:1159-1246), so
+    matrices added by ksstrategy.add_* after PubKey construction are
+    visible here too.  A deserialized PubKey owns its own dict."""
+
     def __init__(self, sk: SecKey):
         self.ctx = ctx = sk.ctx
-        self.sk = sk          # only for matrix generation convenience
         sk.pubkey = self
+        self.matrices = sk.matrices   # shared (see class docstring)
         p = ctx.ptxt_space if ctx.scheme == "bgv" else 1
         # encryption of zero over ctxt primes only (reference keys.cpp:667)
         b, a, noise = sk._rlwe_all_rows(p)
@@ -337,3 +348,49 @@ class PubKey:
 def balanced_int(v: int, m: int) -> int:
     v %= m
     return v - m if v > m // 2 else v
+
+
+# ---------------------------------------------------------------------------
+# evaluation-key lookup (reference PubKey::getKeySWmatrix, keys.cpp:336-404)
+# ---------------------------------------------------------------------------
+
+def matrix_key(handle: SKHandle, to_key: int = 0):
+    if handle.keyID == 0 and to_key == 0:
+        return (handle.powS, handle.powX)
+    return (handle.powS, handle.powX, handle.keyID, to_key)
+
+
+def find_ks_matrix(key, handle: SKHandle, to_key: int = 0):
+    """W[handle -> s_{to_key}] from an evaluation key (PubKey or SecKey),
+    or None.  Every evaluation-time consumer goes through here — only
+    `key.matrices` is touched, never secret material."""
+    return key.matrices.get(matrix_key(handle, to_key))
+
+
+def get_ks_matrix(key, handle: SKHandle, to_key: int = 0) -> KSMatrix:
+    """Fetch a key-switching matrix for evaluation, with the miss policy:
+
+      * present -> return it (the only case a PubKey can serve);
+      * absent + key is a SecKey -> generate on demand, with a ONE-TIME
+        warning that the ksstrategy configuration missed it (dev
+        convenience; reference GenKeySWmatrix is always an explicit
+        keygen-time call).  HELIB_STRICT_KS=1 disables this fallback;
+      * absent + key is a PubKey -> LogicError (reference
+        assertTrue(map[...] != -1, "...") in smartAutomorph's
+        keySwitchMap, Ctxt.cpp:2462-2515)."""
+    W = find_ks_matrix(key, handle, to_key)
+    if W is not None:
+        return W
+    import os
+    if isinstance(key, SecKey) and not os.environ.get("HELIB_STRICT_KS"):
+        from .log import warning
+        warning(f"KS matrix for {handle} (to_key={to_key}) missing — "
+                "generating from the secret key on demand; configure "
+                "ksstrategy.add_*_matrices at keygen time for "
+                "PubKey-only evaluation", once=True)
+        return key.gen_ks_matrix(handle, to_key=to_key)
+    from .exceptions import LogicError
+    raise LogicError(
+        f"no key-switching matrix for {handle} (to_key={to_key}) on this "
+        "evaluation key; generate it at keygen time via "
+        "ksstrategy.add_*_matrices / SecKey.gen_ks_matrix")

@@ -138,12 +138,12 @@ def add_minimal_1d_matrices(sk: SecKey):
         sk.gen_ks_matrix(SKHandle(1, inv_mod(g, m), 0))
 
 
-def hop_path(sk: SecKey, kexp: int) -> list[int] | None:
+def hop_path(key, kexp: int) -> list[int] | None:
     """Decompose X->X^kexp into available one-hop automorphisms (role of
     reference setKeySwitchMap + smartAutomorph's hop chain, Ctxt.cpp:2462).
     Returns a list of hop exponents whose product is kexp mod m, or None."""
-    m = sk.ctx.m
-    avail = sorted({h[1] for h in sk.matrices if h[0] == 1 and h[1] != 1})
+    m = key.ctx.m
+    avail = sorted({h[1] for h in key.matrices if h[0] == 1 and h[1] != 1})
     if not avail:
         return None
     kexp %= m

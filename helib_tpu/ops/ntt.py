@@ -39,6 +39,16 @@ from .modops import (add_mod, sub_mod, mul_mod_shoup, shoup, reduce_u32, U32)
 from ..exceptions import assert_true
 
 
+def _host(a):
+    """Tables stay HOST-resident numpy.  Slicing/subsetting them (per prime
+    rows, per shard) is then pure host work — no per-slice XLA gather
+    compiles, which at round 3 cost ~640 tiny remote compilations per
+    Context over the TPU tunnel.  The jit const-lifting layer
+    (jitutil.lifted_jit) uploads each table to the device exactly once, the
+    first time a compiled program takes it as an argument."""
+    return np.ascontiguousarray(a)
+
+
 # ---------------------------------------------------------------------------
 # table construction (host, exact ints / uint64 numpy)
 # ---------------------------------------------------------------------------
@@ -147,16 +157,16 @@ class Pow2NTT:
             np_tw_sh.append(shoup(wt, qs[:, None]))
             np_itw.append(iwt.astype(np.uint32))
             np_itw_sh.append(shoup(iwt, qs[:, None]))
-        self.tw = [jnp.asarray(a) for a in np_tw]
-        self.tw_sh = [jnp.asarray(a) for a in np_tw_sh]
-        self.itw = [jnp.asarray(a) for a in np_itw]
-        self.itw_sh = [jnp.asarray(a) for a in np_itw_sh]
+        self.tw = [_host(a) for a in np_tw]
+        self.tw_sh = [_host(a) for a in np_tw_sh]
+        self.itw = [_host(a) for a in np_itw]
+        self.itw_sh = [_host(a) for a in np_itw_sh]
         self.np_tw = [a.astype(np.uint64) for a in np_tw]
         ninv = np.array([inv_mod(n, int(q)) for q in qs], dtype=np.uint32)[:, None]
         ninv_sh = shoup(ninv, qs[:, None])
-        self.ninv = jnp.asarray(ninv)
-        self.ninv_sh = jnp.asarray(ninv_sh)
-        self.q_d = jnp.asarray(qs.astype(np.uint32)[:, None])
+        self.ninv = _host(ninv)
+        self.ninv_sh = _host(ninv_sh)
+        self.q_d = _host(qs.astype(np.uint32)[:, None])
         # concatenated "br-layout" tables for the fused Pallas kernel:
         # stage s occupies entries [2^s, 2^(s+1)); entry 0 = n^{-1} (inverse).
         # Stages consumed as the SECOND member of a radix-4 composite pair
@@ -209,26 +219,26 @@ class Pow2NTT:
                 put(fine_sh, s, np_tw_sh[s], second)
                 put(ifine, s, np_itw[s], second)
                 put(ifine_sh, s, np_itw_sh[s], second)
-            self.tw_fine = jnp.asarray(fine)
-            self.tw_fine_sh = jnp.asarray(fine_sh)
-            self.itw_fine = jnp.asarray(ifine)
-            self.itw_fine_sh = jnp.asarray(ifine_sh)
+            self.tw_fine = _host(fine)
+            self.tw_fine_sh = _host(fine_sh)
+            self.itw_fine = _host(ifine)
+            self.itw_fine_sh = _host(ifine_sh)
             # lane-pre-expanded coarse tables for the sublane-butterfly
             # coarse phase: [P, A, 1, LANE]
             from .pallas_ntt import coarse3_layout
-            self.tw_cat3 = jnp.asarray(coarse3_layout(cat, n))
-            self.tw_cat3_sh = jnp.asarray(coarse3_layout(cat_sh, n))
-            self.itw_cat3 = jnp.asarray(coarse3_layout(icat, n))
-            self.itw_cat3_sh = jnp.asarray(coarse3_layout(icat_sh, n))
+            self.tw_cat3 = _host(coarse3_layout(cat, n))
+            self.tw_cat3_sh = _host(coarse3_layout(cat_sh, n))
+            self.itw_cat3 = _host(coarse3_layout(icat, n))
+            self.itw_cat3_sh = _host(coarse3_layout(icat_sh, n))
         else:
             self.tw_fine = self.tw_fine_sh = None
             self.itw_fine = self.itw_fine_sh = None
             self.tw_cat3 = self.tw_cat3_sh = None
             self.itw_cat3 = self.itw_cat3_sh = None
-        self.tw_cat = jnp.asarray(cat)
-        self.tw_cat_sh = jnp.asarray(cat_sh)
-        self.itw_cat = jnp.asarray(icat)
-        self.itw_cat_sh = jnp.asarray(icat_sh)
+        self.tw_cat = _host(cat)
+        self.tw_cat_sh = _host(cat_sh)
+        self.itw_cat = _host(icat)
+        self.itw_cat_sh = _host(icat_sh)
 
     def tree(self):
         """Pytree of device tables (passed through jit boundaries)."""
@@ -407,21 +417,21 @@ class BluesteinTables:
 
         qs32 = qs.astype(np.uint32)
         self.dev = {
-            "q": jnp.asarray(qs32[:, None]),                       # [P,1]
-            "aux_q": jnp.asarray(aux_primes()[:, None, None]),     # [3,1,1]
-            "u_in": jnp.asarray(u_in),
-            "u_in_sh": jnp.asarray(shoup(u_in, qs[:, None])),
-            "u_out": jnp.asarray(u_out),
-            "u_out_sh": jnp.asarray(shoup(u_out, qs[:, None])),
-            "khat": jnp.asarray(khat),                             # [3,P,B]
-            "khat_sh": jnp.asarray(shoup(khat, raux[:, None, None])),
-            "yt_inv": jnp.asarray(yt_inv[:, None, None]),
-            "yt_inv_sh": jnp.asarray(shoup(yt_inv, raux)[:, None, None]),
-            "Rt_mod_q": jnp.asarray(Rt_mod_q[:, :, None]),         # [3,P,1]
-            "Rt_mod_q_sh": jnp.asarray(shoup(Rt_mod_q, qs[None, :])[:, :, None]),
-            "negR": jnp.asarray(negR_mod_q[:, None]),              # [P,1]
-            "negR_sh": jnp.asarray(shoup(negR_mod_q, qs)[:, None]),
-            "inv_r_f32": jnp.asarray((1.0 / raux.astype(np.float64))
+            "q": _host(qs32[:, None]),                       # [P,1]
+            "aux_q": _host(aux_primes()[:, None, None]),     # [3,1,1]
+            "u_in": _host(u_in),
+            "u_in_sh": _host(shoup(u_in, qs[:, None])),
+            "u_out": _host(u_out),
+            "u_out_sh": _host(shoup(u_out, qs[:, None])),
+            "khat": _host(khat),                             # [3,P,B]
+            "khat_sh": _host(shoup(khat, raux[:, None, None])),
+            "yt_inv": _host(yt_inv[:, None, None]),
+            "yt_inv_sh": _host(shoup(yt_inv, raux)[:, None, None]),
+            "Rt_mod_q": _host(Rt_mod_q[:, :, None]),         # [3,P,1]
+            "Rt_mod_q_sh": _host(shoup(Rt_mod_q, qs[None, :])[:, :, None]),
+            "negR": _host(negR_mod_q[:, None]),              # [P,1]
+            "negR_sh": _host(shoup(negR_mod_q, qs)[:, None]),
+            "inv_r_f32": _host((1.0 / raux.astype(np.float64))
                                      .astype(np.float32)[:, None, None]),
             "aux": _broadcast_tree(nttB.tree(), 1),                # P-broadcast
         }
@@ -429,8 +439,8 @@ class BluesteinTables:
             # pre-relayouted for the fused conv kernel's transposed-domain
             # pointwise multiply: [3, P, LANE, B/LANE]
             khat_sh_np = shoup(khat, raux[:, None, None])
-            self.dev["khat_f"] = jnp.asarray(_spectral_fine(khat))
-            self.dev["khat_f_sh"] = jnp.asarray(_spectral_fine(khat_sh_np))
+            self.dev["khat_f"] = _host(_spectral_fine(khat))
+            self.dev["khat_f_sh"] = _host(_spectral_fine(khat_sh_np))
 
 
 def bluestein_apply(x, t, m: int, B: int):
