@@ -23,7 +23,7 @@ import numpy as np
 PARAMS = {
     "tiny": dict(m=1271, mvec=(31, 41), bits=600),
     "small": dict(m=31775, mvec=(31, 25, 41), bits=600),
-    "big": dict(m=35113, mvec=(37, 13, 73), bits=600),
+    "big": dict(m=35113, mvec=(37, 949), bits=600),
 }
 
 

@@ -106,7 +106,8 @@ class MatMul1D:
         nj = (D + g - 1) // g
         pal = ea.ctx.pal
         baby = [ctxt]
-        if pal.native[self.dim] and g > 2:
+        from ..ctxt import Ctxt as _Ctxt
+        if pal.native[self.dim] and g > 2 and isinstance(ctxt, _Ctxt):
             from ..nt.numbth import inv_mod
             from .hoisting import AutomorphPrecon
             precon = AutomorphPrecon(ctxt, sk)

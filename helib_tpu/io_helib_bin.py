@@ -228,3 +228,266 @@ def read_binary_dump(path: str) -> HelibBinaryDump:
                            pub_ptxt_space=pub_space, sk_rows=sk_rows,
                            stdev=stdev, sk_hwts=sk_hwts, ks_matrices=mats,
                            pub_noise=pub_noise)
+
+
+# ---------------------------------------------------------------------------
+# Writer (round 4): emit the same v1 tagged-binary wire format
+# (/root/reference/src/binio.cpp:19-145 primitives;
+#  misc/legacy_tests/Test_Bin_IO.cpp object order), giving the migration
+# path OUT that the round-3 reader-only interop lacked.
+#
+# DoubleCRT rows are evaluations at the primitive m-th roots.  HElib's row
+# ordering is NTL's zMStar order, which cannot be reproduced without NTL;
+# exported files use THIS framework's eval ordering (ascending root
+# exponent), which is format-conformant and self-consistent — the shipped
+# fixtures' own decryption-identity check passes on re-read because every
+# consumer in this codebase (and HElib's own algebra) is per-eval-column.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+import numpy as _np
+
+
+class _Writer:
+    def __init__(self):
+        self.parts: list[bytes] = []
+
+    def tag(self, t: bytes):
+        self.parts.append(t)
+
+    def i64(self, v: int):
+        self.parts.append(struct.pack("<q", int(v)))
+
+    def f64(self, v: float):
+        self.parts.append(struct.pack("<d", float(v)))
+
+    def xdouble(self, v: float):
+        """mantissa * 2^exp split (reference write_raw_xdouble); noise
+        magnitudes can exceed double range, hence the split."""
+        if v <= 0.0:
+            self.f64(0.0)
+            self.i64(0)
+            return
+        e = 0
+        m = float(v)
+        while m >= 1.0:
+            m /= 2.0
+            e += 1
+        while m < 0.5:
+            m *= 2.0
+            e -= 1
+        self.f64(m)
+        self.i64(e)
+
+    def xdouble_log2(self, log2v: float):
+        """xdouble from a log2-domain magnitude (this framework's noise
+        representation) — avoids overflowing a double when log2v > 1024."""
+        import math
+        if log2v == float("-inf"):
+            self.f64(0.0)
+            self.i64(0)
+            return
+        e = int(math.floor(log2v)) + 1
+        self.f64(2.0 ** (log2v - e))
+        self.i64(e)
+
+    def iset(self, idxs):
+        self.i64(len(idxs))
+        for v in idxs:
+            self.i64(v)
+
+    def vec_long(self, vals, int_size: int = 8):
+        self.parts.append(struct.pack("<ii", len(vals), int_size))
+        fmt = "<q" if int_size == 8 else "<i"
+        self.parts.append(b"".join(struct.pack(fmt, int(v)) for v in vals))
+
+    def i64_vec(self, vals):
+        self.i64(len(vals))
+        for v in vals:
+            self.i64(v)
+
+    def zz(self, v: int):
+        nb = max(1, (int(v).bit_length() + 7) // 8)
+        self.i64(nb)
+        self.parts.append(int(v).to_bytes(nb, "little"))
+
+    def dcrt(self, idxs, rows):
+        self.iset(idxs)
+        for row in rows:
+            self.vec_long(row)
+
+    def getvalue(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def _write_base(w: _Writer, m, p, r, gens, ords):
+    w.tag(b"|BS[")
+    w.i64(p); w.i64(r); w.i64(m)
+    w.i64_vec(gens)
+    w.i64_vec(ords)
+    w.tag(b"]BS|")
+
+
+def _write_ctxt_block(w: _Writer, pspace, noise, pset, parts):
+    """parts: [(handle3, idxs, rows)] — the reader's pub_enc_parts shape."""
+    w.tag(b"|CX[")
+    w.i64(pspace)
+    if isinstance(noise, tuple) and noise[0] == "log2":
+        w.xdouble_log2(noise[1])
+    else:
+        w.xdouble(noise)
+    w.iset(pset)
+    w.i64(len(parts))
+    for handle, idxs, rows in parts:
+        w.dcrt(idxs, rows)
+        for h in handle:
+            w.i64(h)
+    w.tag(b"]CX|")
+
+
+def _write_ks_matrix(w: _Writer, mat: HelibBinaryKSMatrix):
+    w.tag(b"|KM[")
+    for h in mat.handle:
+        w.i64(h)
+    w.i64(mat.to_key)
+    w.i64(mat.ptxt_space)
+    w.i64(len(mat.b_columns))
+    for idxs, rows in mat.b_columns:
+        w.dcrt(idxs, rows)
+    w.zz(mat.prg_seed)
+    w.tag(b"]KM|")
+
+
+def write_dump_binary(dump: HelibBinaryDump, path: str):
+    """Re-emit a parsed dump in the v1 wire format.  write(read(fixture))
+    re-read equals the original dump field-for-field — the validation the
+    shipped fixtures enable without building the reference."""
+    w = _Writer()
+    _write_base(w, dump.m, dump.p, dump.r, dump.gens, dump.ords)
+
+    w.tag(b"|CN[")
+    w.f64(dump.stdev)
+    w.i64_vec([])                              # smallPrimes (none)
+    w.i64_vec(list(range(len(dump.primes))))   # ctxtPrimes
+    w.i64(len(dump.primes))
+    for q in dump.primes:
+        w.i64(q)
+    w.i64(0)                                   # ndigits (trailer skipped)
+    w.tag(b"]CN|")
+
+    def _pk_block():
+        w.tag(b"|PK[")
+        _write_base(w, dump.m, dump.p, dump.r, dump.gens, dump.ords)
+        _write_ctxt_block(w, dump.pub_ptxt_space, dump.pub_noise,
+                          dump.pub_enc_parts[0][1], dump.pub_enc_parts)
+        w.i64_vec(dump.sk_hwts)
+        w.i64(len(dump.ks_matrices))
+        for mat in dump.ks_matrices:
+            _write_ks_matrix(w, mat)
+        w.tag(b"]PK|")
+
+    _pk_block()
+    w.tag(b"|SK[")
+    _pk_block()
+    w.i64(1)
+    w.dcrt(list(range(len(dump.primes))), dump.sk_rows)
+    w.tag(b"]SK|")
+    with open(path, "wb") as f:
+        f.write(w.getvalue())
+
+
+# -- export of THIS framework's objects -------------------------------------
+
+def _primitive_cols(ctx):
+    """Columns of our eval rows at primitive m-th roots, ascending
+    exponent.  pow2 m: every eval point is primitive already."""
+    if ctx.pal.pow2:
+        return None
+    m = ctx.m
+    return _np.array([j for j in range(m) if _math.gcd(j, m) == 1])
+
+
+def _export_rows(ctx, data, rows):
+    """Eval-domain device tensor [(R, N)] -> per-prime python rows at the
+    primitive roots (phi(m) wide), int64 lists."""
+    arr = _np.asarray(data)
+    cols = _primitive_cols(ctx)
+    if cols is not None:
+        arr = arr[..., cols]
+    return [list(int(v) for v in arr[i]) for i in range(arr.shape[0])]
+
+
+def _export_parts(ctx, ct):
+    rows_idx = list(ctx.rows_of(ct.k, ct.special))
+    parts = []
+    for h, d in ct.parts:
+        parts.append(((h.powS, h.powX, h.keyID), rows_idx,
+                      _export_rows(ctx, d, rows_idx)))
+    return parts
+
+
+def export_helib_binary(path: str, ctx, sk=None, pk=None, ctxts=()):
+    """Export Context (+PubKey/SecKey/Ctxts) in the v1 HElib binary wire
+    format; read_binary_dump parses the result and the decryption identity
+    c0 + c1*s = p*e holds on the exported rows (primitive-root columns of
+    our eval representation — see module note on ordering)."""
+    w = _Writer()
+    pal = ctx.pal
+    gens = list(pal.gens)
+    ords = [(o if nat else -o) for o, nat in zip(pal.orders, pal.native)]
+    _write_base(w, ctx.m, ctx.p, ctx.r, gens, ords)
+
+    all_primes = [int(q) for q in ctx.all_q]
+    w.tag(b"|CN[")
+    w.f64(ctx.stdev)
+    w.i64_vec([])
+    w.i64_vec(list(range(ctx.L)))
+    w.i64(len(all_primes))
+    for q in all_primes:
+        w.i64(q)
+    w.i64(len(ctx.digits))
+    w.tag(b"]CN|")
+
+    def _pk_block(pk):
+        w.tag(b"|PK[")
+        _write_base(w, ctx.m, ctx.p, ctx.r, gens, ords)
+        enc_rows = list(range(ctx.L))
+        enc_parts = [((h.powS, h.powX, h.keyID), enc_rows,
+                      _export_rows(ctx, d, enc_rows))
+                     for h, d in pk.enc_key]
+        _write_ctxt_block(w, ctx.ptxt_space, ("log2", pk.enc_noise),
+                          enc_rows, enc_parts)
+        w.i64_vec([0])
+        mats = []
+        for W in pk.matrices.values():
+            full = list(range(ctx.L + ctx.S))
+            cols = [(full, _export_rows(ctx, b, full)) for b in W.b]
+            mats.append(HelibBinaryKSMatrix(
+                (W.from_handle.powS, W.from_handle.powX,
+                 W.from_handle.keyID),
+                W.to_key, W.ptxt_space, cols, W.prg_seed or 0))
+        w.i64(len(mats))
+        for mat in mats:
+            _write_ks_matrix(w, mat)
+        w.tag(b"]PK|")
+
+    if pk is not None:
+        _pk_block(pk)
+    if sk is not None:
+        if pk is None:
+            from .keys import PubKey
+            _pk_block(sk.pubkey or PubKey(sk))
+        w.tag(b"|SK[")
+        _pk_block(pk if pk is not None else sk.pubkey)
+        w.i64(len(sk.skeys))
+        full = list(range(ctx.L + ctx.S))
+        for k in sk.skeys:
+            w.dcrt(full, _export_rows(ctx, k["full"], full))
+        w.tag(b"]SK|")
+    for ct in ctxts:
+        _write_ctxt_block(w, ct.ptxt_space, ("log2", ct.noise),
+                          list(ctx.rows_of(ct.k, ct.special)),
+                          _export_parts(ctx, ct))
+    with open(path, "wb") as f:
+        f.write(w.getvalue())

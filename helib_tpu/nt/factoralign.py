@@ -39,7 +39,13 @@ def factor_aligned_structure(m: int, p: int, mvec: list[int]):
         for j in range(i + 1, nf):
             assert_true(math.gcd(mvec[i], mvec[j]) == 1, 'invariant: math.gcd(mvec[i], mvec[j]) == 1')
         assert_true(mvec[i] % 2 == 1, "factor-aligned path expects odd factors")
-        assert_true(len(factorize(mvec[i])) == 1, "factors must be prime powers (cyclic unit groups)")
+        # prefix factors need a CYCLIC unit group (their whole group is the
+        # hypercube dim); the LAST factor only needs a cyclic quotient
+        # (Z/m_t)*/<p> — this admits the reference's composite last factors,
+        # e.g. m=35113 mvec {37, 949=13*73} (bgv_thinboot.cpp:129-145)
+        if i != nf - 1:
+            assert_true(len(factorize(mvec[i])) == 1,
+                        "prefix factors must be prime powers (cyclic unit groups)")
     dprod = [1] * (nf + 1)
     for t in reversed(range(nf)):
         p_t = pow(p, dprod[t + 1], mvec[t])
@@ -60,9 +66,17 @@ def factor_aligned_structure(m: int, p: int, mvec: list[int]):
     local_gens, local_reps = [], []
     for t in range(nf):
         mt = mvec[t]
-        g_local = primitive_root_pp(mt)
-        local_gens.append(g_local)
         D_t = phi_n(mt) // dvec[t]
+        if len(factorize(mt)) == 1:
+            g_local = primitive_root_pp(mt)
+        else:
+            # composite last factor: find a generator of the (cyclic)
+            # quotient (Z/m_t)*/<p^{dprod[t+1]}>, the role of the
+            # reference's FindGenerators over zMStar (NumbTh.cpp) for
+            # non-cyclic unit groups.  Raises if the quotient is not
+            # cyclic (no element of order D_t).
+            g_local = quotient_generator(mt, pow(p, dprod[t + 1], mt), D_t)
+        local_gens.append(g_local)
         local_reps.append(list(range(D_t)))
         if D_t == 1:
             continue
@@ -99,10 +113,41 @@ def factor_aligned_structure(m: int, p: int, mvec: list[int]):
             "dprod": dprod}
 
 
+def quotient_generator(mt: int, p_t: int, D_t: int) -> int:
+    """Element of (Z/mt)* whose image generates the order-D_t quotient
+    (Z/mt)*/<p_t>; raises ValueError if the quotient is not cyclic."""
+    H = set()
+    x = 1
+    while x not in H:
+        H.add(x)
+        x = x * p_t % mt
+    assert_true(len(H) * D_t == phi_n(mt), "quotient size mismatch")
+    # proper divisors of D_t (quotient-order check: g^e in H for e | D_t)
+    divs = [e for e in range(1, D_t) if D_t % e == 0]
+    fallback = None
+    for g in range(2, mt):
+        if math.gcd(g, mt) != 1 or pow(g, D_t, mt) not in H:
+            continue
+        if all(pow(g, e, mt) not in H for e in divs):
+            # prefer a g whose TRUE order is D_t: then g^{D_t} = 1 and the
+            # dimension is native/good (the reference's positive ord, e.g.
+            # +24 for m=35113's second dim)
+            if pow(g, D_t, mt) == 1:
+                return g
+            if fallback is None:
+                fallback = g
+    if fallback is not None:
+        return fallback
+    raise ValueError(f"quotient (Z/{mt})*/<p> is not cyclic "
+                     f"(no element of order {D_t})")
+
+
 def find_aligned_mvec(m: int, p: int) -> list[int] | None:
-    """Search prime-power factor orderings of m for one satisfying the
-    inert-prefix condition; None if no ordering works (then the relative
-    degree is inherently split across factors, as for m=45/p=2)."""
+    """Search factor orderings of m (prime powers, plus merged composite
+    LAST factors a la the reference's mvec {37,949} for m=35113) for one
+    satisfying the inert-prefix condition; None if no ordering works (then
+    the relative degree is inherently split across factors, as for
+    m=45/p=2)."""
     from itertools import permutations
     base = [q**e for q, e in factorize(m)]
     for perm in permutations(base):
@@ -111,6 +156,22 @@ def find_aligned_mvec(m: int, p: int) -> list[int] | None:
             return list(perm)
         except (ValueError, AssertionError):
             continue
+    # merge a subset of factors into one composite LAST factor
+    if len(base) > 2:
+        from itertools import combinations
+        for k in range(2, len(base)):
+            for sub in combinations(range(len(base)), k):
+                last = 1
+                for i in sub:
+                    last *= base[i]
+                rest = [b for i, b in enumerate(base) if i not in sub]
+                for perm in permutations(rest):
+                    try:
+                        mv = list(perm) + [last]
+                        factor_aligned_structure(m, p, mv)
+                        return mv
+                    except (ValueError, AssertionError):
+                        continue
     return None
 
 

@@ -202,3 +202,114 @@ def test_pub_enc_key_decrypts_to_zero(dump):
         # BGV encryption of zero: coefficients = p * e, noise-sized
         assert all(c % p == 0 for c in coef), coef
         assert max(abs(c) for c in coef) < (1 << 16), coef
+
+
+# -- round 4: writer coverage (write -> read both formats) -------------------
+
+def test_binary_writer_fixture_roundtrip(tmp_path):
+    """write(read(fixture)) re-read == original dump field-for-field, on
+    both endianness fixtures — every emitter exercised on REAL HElib key
+    material (reference binio.cpp primitives)."""
+    from helib_tpu.io_helib_bin import read_binary_dump, write_dump_binary
+    for end in ("LE", "BE"):
+        src = os.path.join(FIXDIR, f"iotest_bin{end}.bin")
+        if not os.path.exists(src):
+            pytest.skip("reference fixtures not available")
+        a = read_binary_dump(src)
+        out = str(tmp_path / f"rt_{end}.bin")
+        write_dump_binary(a, out)
+        b = read_binary_dump(out)
+        assert (a.m, a.p, a.r, a.gens, a.ords) == (b.m, b.p, b.r,
+                                                   b.gens, b.ords)
+        assert a.primes == b.primes
+        assert a.stdev == b.stdev
+        assert a.pub_ptxt_space == b.pub_ptxt_space
+        assert a.sk_hwts == b.sk_hwts
+        assert a.sk_rows == b.sk_rows
+        assert a.pub_enc_parts == b.pub_enc_parts
+        assert len(a.ks_matrices) == len(b.ks_matrices)
+        for ka, kb in zip(a.ks_matrices, b.ks_matrices):
+            assert (ka.handle, ka.to_key, ka.ptxt_space,
+                    ka.prg_seed) == (kb.handle, kb.to_key,
+                                     kb.ptxt_space, kb.prg_seed)
+            assert ka.b_columns == kb.b_columns
+
+
+def test_export_own_objects_binary(tmp_path):
+    """Export THIS framework's Context+keys+Ctxt in the v1 binary wire
+    format; read back through the binary reader and verify (a) parameters
+    and key material survive, (b) HElib's decryption identity
+    c0 + c1*s = p*e (small) holds pointwise on the exported eval rows —
+    the same check the shipped fixtures pass."""
+    import numpy as np
+    from helib_tpu.context import Context
+    from helib_tpu.keys import SecKey, PubKey, SKHandle
+    from helib_tpu.ea import EncryptedArray
+    from helib_tpu.io_helib_bin import read_binary_dump, export_helib_binary
+
+    ctx = Context(m=31, p=2, r=1, bits=120, c=2, scheme="bgv")
+    sk = SecKey(ctx, seed=17)
+    pk = PubKey(sk)
+    sk.gen_ks_matrix(SKHandle(2, 1, 0))
+    ea = EncryptedArray(ctx)
+    rng = np.random.default_rng(19)
+    vals = list(rng.integers(0, 2, ea.nslots))
+    ct = ea.encrypt(vals, pk, rng)
+
+    path = str(tmp_path / "export.bin")
+    export_helib_binary(path, ctx, sk=sk, pk=pk, ctxts=[ct])
+    d = read_binary_dump(path)
+    assert (d.m, d.p, d.r) == (ctx.m, ctx.p, ctx.r)
+    assert d.primes == [int(q) for q in ctx.all_q]
+    assert len(d.ks_matrices) == 1
+    assert d.ks_matrices[0].handle == (2, 1, 0)
+
+    # decryption identity on the exported rows: v = c0 + c1*s per prime.
+    # The export ordering is documented (ascending primitive exponent), so
+    # the mod-Phi_m coefficient vector is recoverable per prime by exact
+    # interpolation; it must be IDENTICAL across primes (a true small
+    # integer vector), noise-sized, and divisible by p — i.e. p*e.
+    import math as _math
+    pset = d.pub_enc_parts[0][1]
+    qs = [d.primes[i] for i in pset]
+    width = len(d.pub_enc_parts[0][2][0])
+    assert width == ctx.phi_m          # primitive-root columns
+    prim = [j for j in range(ctx.m) if _math.gcd(j, ctx.m) == 1]
+
+    def interp(vals, q, w):
+        """Solve V g = vals mod q, V[i][k] = w^{prim_i * k} (deg<phi)."""
+        n = len(vals)
+        M = [[pow(w, prim[i] * k, q) for k in range(n)] + [vals[i] % q]
+             for i in range(n)]
+        for col in range(n):
+            piv = next(i for i in range(col, n) if M[i][col] % q)
+            M[col], M[piv] = M[piv], M[col]
+            inv = pow(M[col][col], -1, q)
+            M[col] = [x * inv % q for x in M[col]]
+            for i in range(n):
+                if i != col and M[i][col]:
+                    f = M[i][col]
+                    M[i] = [(a - f * b) % q for a, b in zip(M[i], M[col])]
+        return [M[i][n] for i in range(n)]
+
+    ref = None
+    for ri, q in enumerate(qs[:3]):    # 3 primes suffice for agreement
+        c0 = d.pub_enc_parts[0][2][ri]
+        c1 = d.pub_enc_parts[1][2][ri]
+        s = d.sk_rows[ri]
+        v = [(a + b * c) % q for a, b, c in zip(c0, c1, s)]
+        # root: column of exponent 1 in the X-poly export convention is
+        # recovered from the framework (eval j = value at w^j)
+        from helib_tpu import dcrt as _dcrt
+        x_poly = np.zeros(ctx.phi_m, dtype=np.int64)
+        x_poly[1] = 1
+        xr = np.asarray(_dcrt.small_coeffs_to_rt(ctx, x_poly, ctx.L, False))
+        w = int(xr[ri, 1]) % q
+        g = interp(v, q, w)
+        bal = [x - q if x > q // 2 else x for x in g]
+        assert all(abs(x) < 10000 for x in bal), max(map(abs, bal))
+        assert all(x % ctx.p == 0 for x in bal)
+        if ref is None:
+            ref = bal
+        else:
+            assert bal == ref, "cross-prime coefficient disagreement"
