@@ -245,14 +245,42 @@ class Context:
             rows += list(range(self.L, self.L + self.S))
         return tuple(rows)
 
+    def enable_sharded_transforms(self, A: int, mesh=None):
+        """Route every odd-m NTT through the phi(m)-axis-sharded four-step
+        Bluestein pipeline (parallel.sharded_ntt): the B-point convolution
+        block axis is sharded A-ways over the ambient mesh axis "shard",
+        with ONE cross-shard exchange per transform direction (the coarse
+        matmul; volume = 1x the [3, P, B] conv tensor).  Elementwise ring
+        ops stay replicated — at bootstrap scale ~95% of device time is in
+        these convolutions (round-2 profile), so this is the axis worth
+        scaling.  Call AFTER setup/keygen; affects subsequent jit builds
+        (enablement is part of the dispatch cache key)."""
+        from .parallel.sharded_ntt import ShardedNTT
+        from .nt.primegen import gen_aux_primes
+        B = self.ntt_fwd.B
+        sntt = ShardedNTT(
+            np.array(gen_aux_primes(3), dtype=np.uint32), B,
+            negacyclic=False, A=A)
+        if mesh is not None:
+            sntt.set_mesh(mesh)
+        self._sharded_ntt = sntt
+
+    def disable_sharded_transforms(self):
+        self._sharded_ntt = None
+
     def _ntt_impl(self, x, rows: tuple, inverse: bool):
         t = self.ntt_tree(rows)
         if self.pal.pow2:
             from .ops.ntt import ntt_pow2_fwd, ntt_pow2_inv
             return (ntt_pow2_inv(x, t["inv"]) if inverse
                     else ntt_pow2_fwd(x, t["fwd"]))
-        from .ops.ntt import bluestein_apply
         tab = self.ntt_inv if inverse else self.ntt_fwd
+        sntt = getattr(self, "_sharded_ntt", None)
+        if sntt is not None:
+            from .parallel.sharded_ntt import bluestein_apply_sharded
+            return bluestein_apply_sharded(x, t["inv" if inverse else "fwd"],
+                                           self.m, tab.B, sntt)
+        from .ops.ntt import bluestein_apply
         return bluestein_apply(x, t["inv" if inverse else "fwd"],
                                self.m, tab.B)
 
@@ -265,7 +293,8 @@ class Context:
         import jax.core
         if isinstance(x, jax.core.Tracer):
             return self._ntt_impl(x, rows, inverse)
-        key = ("nttjit", rows, inverse, jnp.shape(x))
+        key = ("nttjit", rows, inverse, jnp.shape(x),
+               getattr(self, "_sharded_ntt", None) is not None)
         fn = self._dev_cache.get(key)
         if fn is None:
             from .jitutil import lifted_jit

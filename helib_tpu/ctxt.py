@@ -424,11 +424,21 @@ class Ctxt:
                     self.noise + other.noise, intF)
 
     def mul_low_level(self, other: "Ctxt") -> "Ctxt":
-        """multLowLvl: equalize prime sets near the natural level, tensor."""
+        """multLowLvl: equalize prime sets near the natural level, tensor.
+
+        Interval rule follows reference computeIntervalForMul
+        (Ctxt.cpp:1610-1657): BGV takes the MIN of the two natural levels
+        (save capacity); CKKS takes the MAX, clamped by feasibility (the
+        common set cannot exceed either operand's current set) — dropping
+        a high-precision operand to the other's natural level costs
+        accuracy the reference deliberately keeps."""
         a, b = self.copy(), other.copy()
         a.drop_special_primes()
         b.drop_special_primes()
-        tk = min(a.natural_k(), b.natural_k())
+        if self.is_ckks:
+            tk = min(a.k, b.k, max(a.natural_k(), b.natural_k()))
+        else:
+            tk = min(a.natural_k(), b.natural_k())
         a.bring_to_k(tk)
         b.bring_to_k(tk)
         return a.tensor(b)

@@ -77,25 +77,49 @@ class PtSim:
         out[:len(red)] = red
         self.poly = out
 
-    def smart_automorph(self, k, sk=None):
-        from .nt import polymod as pm
-        m, pr = self.ea.m, self.ea.pr
-        acc = self._np.zeros(m, dtype=self._np.int64)
-        for j, c in enumerate(self.poly):
+    def _mod_phim(self, acc):
+        """Reduce a length<2m int64 vector mod (Phi_m, p^r), vectorized
+        (synthetic division against the monic Phi_m; the pure-Python
+        polymod path is O(m^2) Python ops — hours at m=35113)."""
+        np = self._np
+        pr = self.ea.pr
+        phim = np.asarray(self._phim, dtype=np.int64)
+        phi = len(phim) - 1
+        work = acc.astype(np.int64) % pr
+        for i in range(len(work) - 1, phi - 1, -1):
+            c = work[i] % pr
             if c:
-                acc[(j * k) % m] = (acc[(j * k) % m] + int(c)) % pr
-        self._set(pm.pmod(list(acc), self._phim, pr))
+                work[i - phi:i + 1] = (work[i - phi:i + 1] - c * phim) % pr
+        return work[:phi]
+
+    def smart_automorph(self, k, sk=None):
+        np = self._np
+        m, pr = self.ea.m, self.ea.pr
+        j = np.arange(len(self.poly), dtype=np.int64)
+        acc = np.zeros(m, dtype=np.int64)
+        np.add.at(acc, (j * k) % m, self.poly)
+        self._set(self._mod_phim(acc % pr))
         return self
 
     def frobenius(self, j, sk=None):
         return self.smart_automorph(pow(self.ea.p, j, self.ea.m), sk)
 
     def mul_constant_poly(self, coeffs, mag=None):
-        from .nt import polymod as pm
+        np = self._np
         pr = self.ea.pr
-        prod = pm.pmul([int(c) % pr for c in self.poly],
-                       [int(c) % pr for c in coeffs], pr)
-        self._set(pm.pmod(prod, self._phim, pr))
+        a = self.poly % pr
+        b = np.asarray([int(c) % pr for c in coeffs], dtype=np.int64)
+        # exact integer convolution in 15-bit split halves (values < 2^15
+        # per half; m * 2^30 < 2^63 for m < 2^33 — no overflow)
+        alo, ahi = a & 0x7FFF, a >> 15
+        prod = (np.convolve(alo, b) + ((np.convolve(ahi, b) % pr) << 15)) % pr
+        # fold mod X^m - 1 first (cheap), then divide by Phi_m
+        m = self.ea.m
+        if len(prod) > m:
+            head = prod[:m].copy()
+            head[: len(prod) - m] = (head[: len(prod) - m] + prod[m:]) % pr
+            prod = head
+        self._set(self._mod_phim(prod))
 
     def mul_constant_fat(self, fat, mag=None):
         # device-resident constants carry their balanced coefficients

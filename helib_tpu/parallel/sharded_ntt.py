@@ -179,12 +179,35 @@ class ShardedNTT:
                              self.dev["q"])
 
     # ------------------------------------------------------------------
+    def _shard_blocks(self, X):
+        """Pin the A-block axis (second-to-last) to the instance's mesh
+        axis "shard" — this is what makes the four-step actually
+        DISTRIBUTE under jit (without a constraint GSPMD is free to keep
+        the whole tensor replicated); no-op until set_mesh() is called."""
+        mesh = getattr(self, "mesh", None)
+        if mesh is None:
+            return X
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(*([None] * (X.ndim - 2)), "shard", None)
+        return jax.lax.with_sharding_constraint(
+            X, NamedSharding(mesh, spec))
+
+    def set_mesh(self, mesh):
+        """Attach a 1-D Mesh with axis "shard" of size A; subsequent
+        fwd/inv traces carry block-axis sharding constraints."""
+        assert_true(mesh.shape["shard"] == self.A, (mesh.shape, self.A))
+        self.mesh = mesh
+        return self
+
     def fwd(self, x):
         """x [..., P, n] coefficients -> evaluations (Pow2NTT order).
-        The [..., P, A, nB] view's A axis is the one to shard."""
+        The [..., P, A, nB] view's A axis is the sharded one; the coarse
+        contraction is the single cross-shard exchange."""
         t = self.dev
         X = x.reshape(*x.shape[:-1], self.A, self.n // self.A)
+        X = self._shard_blocks(X)
         S = self._coarse(X, t["W1"], t["W1_sh"])
+        S = self._shard_blocks(S)
         S = mul_mod_shoup(S, t["TW"], t["TW_sh"], t["q"])
         S = self._local(S, t["ltw"], t["ltw_sh"], inverse=False)
         return S.reshape(*x.shape[:-1], self.n)
@@ -193,9 +216,11 @@ class ShardedNTT:
         """Inverse of fwd (same sharded structure, mirrored)."""
         t = self.dev
         Y = y.reshape(*y.shape[:-1], self.A, self.n // self.A)
+        Y = self._shard_blocks(Y)
         S = self._local(Y, t["litw"], t["litw_sh"], inverse=True)
         S = mul_mod_shoup(S, t["TWi"], t["TWi_sh"], t["q"])
         S = self._coarse(S, t["W1i"], t["W1i_sh"])
+        S = self._shard_blocks(S)
         return S.reshape(*y.shape[:-1], self.n)
 
 

@@ -49,6 +49,7 @@ def test_encrypt_decrypt_16k(setup16k):
 
 
 @pytest.mark.slow
+@pytest.mark.big_mem
 def test_mult_chain_precision_16k(setup16k):
     """Depth-4 squaring chain with rescales: accumulated precision loss of
     the uniform-30-bit prime chain stays within the tracked error bound."""

@@ -159,6 +159,7 @@ def test_sharded_bluestein_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+@pytest.mark.big_mem
 def test_thin_recrypt_with_sharded_parts():
     """Thin bootstrap with the ciphertext part tensors device_put onto a
     limb-sharded mesh: the whole eager pipeline stays sharded (GSPMD
