@@ -63,7 +63,11 @@ def bench_bgv(quick=False):
         iters = 10
         t0 = _t.time(); chain(iters); per = (_t.time() - t0) / iters
         if per < 0.1:
-            iters = max(20, int(2.0 / per))
+            # cap: at tiny configs per-op is sub-ms and the chain length
+            # would hit thousands — each dispatch costs ~10 ms of tunnel
+            # latency on the remote-TPU backend, turning a 2 s budget
+            # into an hour.  500 chained ops is plenty for steady state.
+            iters = min(500, max(20, int(2.0 / per)))
             t0 = _t.time(); chain(iters); per = (_t.time() - t0) / iters
         print(json.dumps({"metric": f"bgv_mult_relin_ms_{name}_m{m}",
                           "value": round(per * 1e3, 3), "unit": "ms",
@@ -105,7 +109,7 @@ def bench_bgv(quick=False):
         iters = 10
         t0 = _t.time(); chain_rot(iters); per = (_t.time() - t0) / iters
         if per < 0.1:
-            iters = max(20, int(2.0 / per))
+            iters = min(500, max(20, int(2.0 / per)))
             t0 = _t.time(); chain_rot(iters); per = (_t.time() - t0) / iters
         print(json.dumps({"metric": f"bgv_rotate_ms_{name}_m{m}",
                           "value": round(per * 1e3, 3), "unit": "ms"}))
@@ -222,7 +226,7 @@ def bench_ckks(quick=False):
         iters = 10
         t0 = time.time(); chain(iters); per = (time.time() - t0) / iters
         if per < 0.1:
-            iters = max(20, int(2.0 / per))
+            iters = min(500, max(20, int(2.0 / per)))
             t0 = time.time(); chain(iters); per = (time.time() - t0) / iters
         print(json.dumps({"metric": f"ckks_mult_relin_ms_m{m}_b{bits}",
                           "value": round(per * 1e3, 3), "unit": "ms",

@@ -206,8 +206,20 @@ class Ctxt:
             new_parts.append((h, rt_scale_down(
                 self.ctx, data, self.k, self.special, new_k, new_special, ps)))
         import os
-        if (os.environ.get("HELIB_EXACT_MODSWITCH")
-                and not self.is_ckks and self.ctx.phi_m <= (1 << 16)):
+        flag = os.environ.get("HELIB_EXACT_MODSWITCH", "")
+        # Default ON (round 4), matching the reference's unconditional
+        # measurement (Ctxt.cpp:491-503): one inverse NTT + balanced CRT +
+        # complex FFT on the dropped rows, host-side.  Skipped inside jit
+        # traces (the measurement is host math; traced pipelines keep the
+        # worst-case bound) and above phi(m)=2^16 (host FFT cost).
+        # HELIB_EXACT_MODSWITCH=0 disables, =1 forces the old opt-in gate.
+        enabled = flag != "0" and not self.is_ckks \
+            and self.ctx.phi_m <= (1 << 16)
+        if enabled and not flag:
+            import jax.core
+            enabled = not any(isinstance(d, jax.core.Tracer)
+                              for _, d in new_parts)
+        if enabled:
             added = min(added, self._measured_modswitch_noise(
                 old_parts, new_parts, D, new_k, new_special))
         self.parts = new_parts
