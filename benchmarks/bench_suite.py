@@ -43,6 +43,11 @@ def bench_bgv(quick=False):
                     ("hexl", 32768, 65537, 6400, 3)]
     for name, m, p, bits, c in configs:
         import time as _t
+
+        def phase(msg):
+            print(f"# [{name}] {msg} ({_t.strftime('%H:%M:%S')})",
+                  file=sys.stderr, flush=True)
+        phase("setup")
         t0 = _t.time()
         ctx = Context(m=m, p=p, r=1, bits=bits, c=c, scheme="bgv")
         sk = SecKey(ctx, seed=2)
@@ -53,6 +58,7 @@ def bench_bgv(quick=False):
 
         # chained steady-state timing (see bench.py): pipelined dispatch,
         # fresh data every call, no per-call host sync
+        phase("mult chains")
         def chain(n):
             o0, o1 = jfn(*args)
             for _ in range(n - 1):
@@ -74,6 +80,7 @@ def bench_bgv(quick=False):
                           "setup_s": round(setup_s, 1),
                           "compile_s": round(compile_s, 1)}))
 
+        phase("add")
         # add (elementwise) on the same shapes — CHAINED, so the number
         # is device time, not tunnel round-trip latency (round-2 weak 6:
         # the old per-call-synced 23.8 ms figure was a measurement
@@ -93,6 +100,7 @@ def bench_bgv(quick=False):
         print(json.dumps({"metric": f"bgv_add_us_{name}_m{m}",
                           "value": round(per * 1e6, 1), "unit": "us"}))
 
+        phase("rotate")
         # rotate-by-1 (automorph + key-switch; reference
         # benchmarks/bgv_basic.cpp:167-189 rotate workload)
         from helib_tpu.pipeline import make_automorph_relin
@@ -114,6 +122,7 @@ def bench_bgv(quick=False):
         print(json.dumps({"metric": f"bgv_rotate_ms_{name}_m{m}",
                           "value": round(per * 1e3, 3), "unit": "ms"}))
 
+        phase("encrypt")
         # encrypt / decrypt (reference bgv_basic.cpp:191-210).  Encrypt is
         # the device-side sampling pipeline chained over fresh PRNG keys;
         # decrypt is timed per call (it necessarily ends host-side).
@@ -135,19 +144,24 @@ def bench_bgv(quick=False):
         print(json.dumps({"metric": f"bgv_encrypt_ms_{name}_m{m}",
                           "value": round(per * 1e3, 3), "unit": "ms"}))
 
+        phase("decrypt")
+        # Reference bgv_basic.cpp:191-210 times secretKey.Decrypt(ptxt, ct)
+        # — the POLY-level decrypt (CRT + balanced reduction), not slot
+        # decode.  (At m=8009/p=2 the slot algebra is a degenerate
+        # 2-slot/d=4004 view whose table build is an unrelated cost.)
         import numpy as _np
-        from helib_tpu.ea import EncryptedArray
-        ea = EncryptedArray(ctx)
         rng = _np.random.default_rng(5)
-        ct = ea.encrypt(list(rng.integers(0, 2, ea.nslots)), pk, rng)
-        ea.decrypt_ints(ct, sk)    # warm
+        pt = rng.integers(0, ctx.ptxt_space, ctx.phi_m)
+        ct = pk.encrypt_bgv(pt, rng)
+        sk.decrypt_bgv(ct)         # warm
         t0 = _t.time()
         for _ in range(5):
-            ea.decrypt_ints(ct, sk)
+            sk.decrypt_bgv(ct)
         per = (_t.time() - t0) / 5
         print(json.dumps({"metric": f"bgv_decrypt_ms_{name}_m{m}",
                           "value": round(per * 1e3, 3), "unit": "ms"}))
 
+        phase("io")
         # serialization IO round trip (reference benchmarks/IO.cpp:117-219)
         import io as _io
         from helib_tpu.io import write_ctxt, read_ctxt

@@ -159,6 +159,20 @@ class Ctxt:
         from .norms import embedding_largest_coeff_log2
         ctx = self.ctx
         rows = ctx.rows_of(new_k, new_special)
+        # The delta is reconstructed from the REMAINING rows: r = -delta
+        # with |delta coeffs| <= D*ps/2, representable only when that is
+        # below Q_remaining/2.  Huge drops (bootstrap bring_to_k) alias
+        # mod Q_remaining and would measure garbage — fall back to the
+        # worst-case bound there (the reference measures on the dropped
+        # special basis instead, which it keeps; we don't).
+        log2_D = (self.log2_modulus()
+                  - (ctx.log2_q(new_k)
+                     + (ctx.log2_special() if new_special else 0.0)))
+        ps = 1 if self.is_ckks else self.ptxt_space
+        log2_Q_rem = ctx.log2_q(new_k) + (ctx.log2_special()
+                                          if new_special else 0.0)
+        if log2_D + math.log2(max(ps, 2)) + 8.0 > log2_Q_rem:
+            return self.mod_switch_added_noise()
         qs = ctx.all_q[np.array(rows)].astype(np.uint64)
         D_mod = jnp.asarray(np.array([D % int(q) for q in qs],
                                      dtype=np.uint64)[:, None])
@@ -174,7 +188,8 @@ class Ctxt:
             res = np.asarray(coeffs_rt)
             if res.ndim > 2:
                 res = res.reshape(-1, *res.shape[-2:])[0]
-            coeffs = dcrt.crt_reconstruct(ctx, res, tuple(rows))
+            coeffs = dcrt.crt_reconstruct(ctx, res, tuple(rows),
+                                          balanced=True)
             if not any(int(c) for c in coeffs):
                 continue
             norm = embedding_largest_coeff_log2(coeffs, ctx.m,
