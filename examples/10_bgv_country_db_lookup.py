@@ -26,7 +26,7 @@ CAPITALS = ["oslo", "santiago", "accra", "kathmandu"]
 
 def main():
     # p=131, m=127: 18 slots of byte codes (d=7)
-    ctx = Context(m=127, p=131, r=1, bits=500, c=3, scheme="bgv")
+    ctx = Context(m=127, p=131, r=1, bits=800, c=3, scheme="bgv")
     sk = SecKey(ctx, seed=0)
     pk = PubKey(sk)
     ea = EncryptedArray(ctx)

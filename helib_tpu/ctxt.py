@@ -154,47 +154,52 @@ class Ctxt:
         FFT gives the canonical norm.  Each part's norm is scaled by the
         key-power bound B_s^powS, matching mod_switch_added_noise."""
         import numpy as np
-        import jax.numpy as jnp
-        from . import dcrt
-        from .norms import embedding_largest_coeff_log2
+        from .norms import embedding_largest_float_log2
         ctx = self.ctx
-        rows = ctx.rows_of(new_k, new_special)
-        # The delta is reconstructed from the REMAINING rows: r = -delta
-        # with |delta coeffs| <= D*ps/2, representable only when that is
-        # below Q_remaining/2.  Huge drops (bootstrap bring_to_k) alias
-        # mod Q_remaining and would measure garbage — fall back to the
-        # worst-case bound there (the reference measures on the dropped
-        # special basis instead, which it keeps; we don't).
-        log2_D = (self.log2_modulus()
-                  - (ctx.log2_q(new_k)
-                     + (ctx.log2_special() if new_special else 0.0)))
-        ps = 1 if self.is_ckks else self.ptxt_space
-        log2_Q_rem = ctx.log2_q(new_k) + (ctx.log2_special()
-                                          if new_special else 0.0)
-        if log2_D + math.log2(max(ps, 2)) + 8.0 > log2_Q_rem:
-            return self.mod_switch_added_noise()
-        qs = ctx.all_q[np.array(rows)].astype(np.uint64)
-        D_mod = jnp.asarray(np.array([D % int(q) for q in qs],
-                                     dtype=np.uint64)[:, None])
-        qs_d = jnp.asarray(qs[:, None])
-        acc = NEG_INF
         old_rows = ctx.rows_of(self.k, self.special)
-        pos = np.array([old_rows.index(r) for r in rows])
-        for (h, old_d), (_, new_d) in zip(old_parts, new_parts):
-            v = jnp.take(old_d, jnp.asarray(pos), axis=-2).astype(jnp.uint64)
-            vp = new_d.astype(jnp.uint64)
-            r_rt = (vp * D_mod % qs_d + qs_d - v % qs_d) % qs_d
-            coeffs_rt = ctx.inv_ntt(r_rt.astype(jnp.uint32), tuple(rows))
-            res = np.asarray(coeffs_rt)
-            if res.ndim > 2:
-                res = res.reshape(-1, *res.shape[-2:])[0]
-            coeffs = dcrt.crt_reconstruct(ctx, res, tuple(rows),
-                                          balanced=True)
-            if not any(int(c) for c in coeffs):
+        new_rows = ctx.rows_of(new_k, new_special)
+        drop_rows = tuple(r for r in old_rows if r not in new_rows)
+        drop_pos = np.array([old_rows.index(r) for r in drop_rows])
+        d = ctx.all_q[np.array(drop_rows)].astype(np.uint64)
+        ps = 1 if self.is_ckks else self.ptxt_space
+        # Mirror _rt_scale_down_impl's delta construction host-side from
+        # the OLD parts' DROPPED rows (delta is defined mod D, so this is
+        # exact for ANY drop size — the remaining-rows reconstruction of
+        # round 4's first attempt aliased once D exceeded Q_remaining):
+        #   delta/D = sum_i y_i/d_i - alpha_b + eps,   |delta/D| <= ps
+        # float64 per-term O(1) precision is ample for a noise bound.
+        Dint = 1
+        for x in d:
+            Dint *= int(x)
+        c_i = np.array([pow((Dint // int(di)) % int(di), -1, int(di))
+                        for di in d], dtype=np.uint64)
+        acc = NEG_INF
+        for h, old_d in old_parts:
+            x_eval = np.asarray(old_d)[..., drop_pos, :]
+            x_coeff = np.asarray(ctx.inv_ntt(x_eval, drop_rows),
+                                 dtype=np.uint64)
+            if x_coeff.ndim > 2:
+                x_coeff = x_coeff.reshape(-1, *x_coeff.shape[-2:])[0]
+            y = (x_coeff * c_i[:, None]) % d[:, None]
+            z = np.sum(y.astype(np.float64) / d[:, None].astype(np.float64),
+                       axis=-2)
+            alpha_b = np.floor(z)
+            alpha_b += (z - alpha_b) >= 0.5
+            frac = z - alpha_b                       # delta0/D in [-1/2, 1/2)
+            if ps > 1:
+                # eps = -delta0 * D^{-1} mod ps, balanced (kernel parity)
+                d0_ps = (np.sum((y % ps) * np.array(
+                    [(Dint // int(di)) % ps for di in d],
+                    dtype=np.uint64)[:, None], axis=-2)
+                    + (ps - (alpha_b.astype(np.int64) * (Dint % ps)) % ps)
+                    ) % ps
+                eps = (ps - d0_ps) * pow(Dint % ps, -1, ps) % ps
+                eps = eps.astype(np.float64)
+                eps -= (eps > ps // 2) * ps
+                frac = frac + eps
+            if not np.any(frac):
                 continue
-            norm = embedding_largest_coeff_log2(coeffs, ctx.m,
-                                                ctx.pal.pow2)
-            norm -= math.log2(D)
+            norm = embedding_largest_float_log2(frac, ctx.m, ctx.pal.pow2)
             bound = norm + (h.powS * self.pubkey.sk_bound
                             if not h.is_one else 0.0)
             acc = log2_add(acc, bound)
@@ -222,15 +227,20 @@ class Ctxt:
                 self.ctx, data, self.k, self.special, new_k, new_special, ps)))
         import os
         flag = os.environ.get("HELIB_EXACT_MODSWITCH", "")
-        # Default ON (round 4), matching the reference's unconditional
-        # measurement (Ctxt.cpp:491-503): one inverse NTT + balanced CRT +
-        # complex FFT on the dropped rows, host-side.  Skipped inside jit
-        # traces (the measurement is host math; traced pipelines keep the
-        # worst-case bound) and above phi(m)=2^16 (host FFT cost).
-        # HELIB_EXACT_MODSWITCH=0 disables, =1 forces the old opt-in gate.
-        enabled = flag != "0" and not self.is_ckks \
-            and self.ctx.phi_m <= (1 << 16)
-        if enabled and not flag:
+        # Measured mod-switch noise (reference Ctxt.cpp:491-503).  The
+        # reference measures for free (the delta is already host-side in
+        # its design); for us it costs an extra inverse-NTT dispatch +
+        # host CRT + FFT per drop.  Measured round 4 on the m=1271 thin
+        # bootstrap: default-ON = 18.6 s vs 3.3 s per recrypt (5.6x) for
+        # +3.3 bits of capacity — so the default is ON only for TINY
+        # rings (phi <= 512: the depth-critical example/test configs,
+        # where worst-case bounds actually exhaust capacity and the
+        # measurement is ~free), opt-in elsewhere via
+        # HELIB_EXACT_MODSWITCH=1 (any phi <= 2^16); =0 disables fully.
+        enabled = not self.is_ckks and (
+            flag == "1" and self.ctx.phi_m <= (1 << 16)
+            or not flag and self.ctx.phi_m <= 512)
+        if enabled:
             import jax.core
             enabled = not any(isinstance(d, jax.core.Tracer)
                               for _, d in new_parts)

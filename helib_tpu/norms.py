@@ -40,6 +40,24 @@ def embedding_largest_coeff_log2(coeffs, m: int, pow2: bool) -> float:
     return math.log2(mx) if mx > 0 else float("-inf")
 
 
+def embedding_largest_float_log2(arr, m: int, pow2: bool) -> float:
+    """Same spectrum max for FLOAT coefficient vectors (used by the exact
+    mod-switch measurement, whose delta/D coefficients are O(1) reals)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if pow2:
+        N = len(arr)
+        zeta = np.exp(1j * np.pi / N)
+        b = arr.astype(np.complex128) * zeta ** np.arange(N)
+        mx = float(np.max(np.abs(np.fft.ifft(b) * N)))
+    else:
+        full = np.zeros(m, dtype=np.float64)
+        full[: len(arr)] = arr
+        spec = np.fft.fft(full)
+        prim = np.array([j for j in range(1, m) if math.gcd(j, m) == 1])
+        mx = float(np.max(np.abs(spec[prim])))
+    return math.log2(mx) if mx > 0 else float("-inf")
+
+
 def embedding_norm_log2_scaled(mant: np.ndarray, exp2: np.ndarray,
                                m: int, pow2: bool) -> float:
     """log2 canonical norm from frexp-form coefficients (value_i =
