@@ -211,3 +211,26 @@ def test_thin_recrypt_bench_param():
     out = thin_recrypt(ct, rc, sk)
     assert out.is_correct(), out.capacity()
     np.testing.assert_array_equal(ea.decrypt_ints(out, sk), slots)
+
+
+def test_thin_recrypt_pubkey_only(setup):
+    """Server-side bootstrap with the PubKey alone (the reference's
+    thinReCrypt is a PubKey method, recryption.cpp:417) — after keygen
+    has populated the matrices, the recryption itself must touch no
+    secret material.  The first sk-driven run mints any strategy gaps;
+    the second runs under HELIB_STRICT_KS with the PubKey and must
+    match."""
+    import os
+    ctx, sk, pk, ea, rc, rng = setup
+    slots = rng.integers(0, ctx.ptxt_space, ea.nslots)
+    ct = ea.encrypt(list(slots), pk, rng)
+    low = ct.copy()
+    low.bring_to_k(3)
+    thin_recrypt(low.copy(), rc, sk)      # mints all needed matrices
+    os.environ["HELIB_STRICT_KS"] = "1"   # any further minting -> error
+    try:
+        out = thin_recrypt(low, rc, pk)   # PubKey only
+    finally:
+        del os.environ["HELIB_STRICT_KS"]
+    assert out.is_correct(), out.capacity()
+    np.testing.assert_array_equal(ea.decrypt_ints(out, sk), slots)
