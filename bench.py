@@ -45,8 +45,10 @@ def main():
     from helib_tpu.pipeline import make_batched_mult_relin
     from helib_tpu.jitutil import lifted_jit
 
+    import os
     m, p, bits, c = 8009, 2, 380, 3
-    B = 16                        # ops in flight (production serving batch)
+    # ops in flight (production serving batch); overridable for sweeps
+    B = int(os.environ.get("HELIB_BENCH_B", "16"))
     t0 = time.time()
     ctx = Context(m=m, p=p, r=1, bits=bits, c=c, scheme="bgv")
     sk = SecKey(ctx, seed=3)

@@ -37,7 +37,9 @@ def bench_bgv(quick=False):
     configs = [("tiny", 257, 2, 300, 2)]
     if not quick:
         configs += [("small", 8009, 2, 380, 3)]
-    if os.environ.get("HELIB_BENCH_BIG"):
+    if os.environ.get("HELIB_BENCH_BIG_ONLY"):
+        configs = []  # the big rows only (tiny/small already recorded)
+    if os.environ.get("HELIB_BENCH_BIG") or os.environ.get("HELIB_BENCH_BIG_ONLY"):
         # reference bgv_basic.cpp:236 "big" + the HEXL pow2 config (:246)
         configs += [("big", 32003, 2, 5800, 3),
                     ("hexl", 32768, 65537, 6400, 3)]
