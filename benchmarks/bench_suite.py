@@ -250,6 +250,151 @@ def bench_ckks(quick=False):
                           "compile_s": round(compile_s, 1)}))
 
 
+def bench_ckks_ops(quick=False):
+    """Full per-op CKKS rows mirroring reference benchmarks/ckks_basic.cpp:
+    add (:38), subtract (:59), negate (:80), square (:99), rotate-by-1
+    (:118), mult-no-relin (:137), mult+relin (:161), encrypt (:183),
+    decrypt (:197), mult-and-add (:213), at the reference's
+    tiny/small/big configs (ckks_basic.cpp:239-273: m=1024/16384/65536).
+
+    Methodology matches bench_bgv: chained dispatch (fresh data each call,
+    no per-call host sync) for device ops; decrypt is per-call since it
+    necessarily ends host-side."""
+    import numpy as np
+    import jax
+    from helib_tpu.context import Context
+    from helib_tpu.keys import SecKey, PubKey, SKHandle
+    from helib_tpu.ctxt import Ctxt
+    from helib_tpu.pipeline import (make_mult_relin, make_automorph_relin,
+                                    make_encrypt)
+    from helib_tpu.jitutil import lifted_jit
+    from helib_tpu.ops.modops import add_mod, sub_mod, neg_mod
+    from helib_tpu.ckks import EncryptedArrayCKKS
+
+    configs = [("tiny", 1024, 240)]
+    if not quick:
+        configs += [("small", 16384, 360), ("big", 65536, 440)]
+    for name, m, bits in configs:
+        def phase(msg):
+            print(f"# [ckks_ops {name}] {msg} ({time.strftime('%H:%M:%S')})",
+                  file=sys.stderr, flush=True)
+
+        def emit(op, per_s, unit="ms", **extra):
+            scale = {"ms": 1e3, "us": 1e6}[unit]
+            print(json.dumps({"metric": f"ckks_{op}_{unit}_{name}_m{m}",
+                              "value": round(per_s * scale, 3),
+                              "unit": unit, **extra}), flush=True)
+
+        phase("setup")
+        t0 = time.time()
+        ctx = Context(m=m, p=-1, r=30, bits=bits, c=3, scheme="ckks")
+        sk = SecKey(ctx, seed=2)
+        pk = sk.pubkey or PubKey(sk)
+        fn, args = make_mult_relin(ctx, sk)
+        jmul = lifted_jit(fn, *args)
+        setup_s = time.time() - t0
+
+        def measure(step, state):
+            """Chained steady-state seconds/op for step(state)->state."""
+            jax.block_until_ready(state)
+            for _ in range(3):
+                state = step(state)
+            jax.block_until_ready(state)
+            iters = 10
+            t0 = time.time()
+            s = state
+            for _ in range(iters):
+                s = step(s)
+            jax.block_until_ready(s)
+            per = (time.time() - t0) / iters
+            if per < 0.1:
+                iters = min(500, max(20, int(2.0 / per)))
+                t0 = time.time()
+                for _ in range(iters):
+                    s = step(s)
+                jax.block_until_ready(s)
+                per = (time.time() - t0) / iters
+            return per
+
+        phase("mult")
+        per = measure(lambda s: jmul(s[0], s[1], args[2], args[3]),
+                      jmul(*args))
+        emit("mult_relin", per, setup_s=round(setup_s, 1))
+
+        phase("square")
+        per = measure(lambda s: jmul(s[0], s[1], s[0], s[1]), jmul(*args))
+        emit("square", per)
+
+        # mult WITHOUT relin: tensor product only (3 output parts;
+        # reference ckks_basic.cpp:137 multLowLvl)
+        phase("mult_no_relin")
+        noise = ctx.noise_mod(max(ctx.ptxt_space, 2))
+
+        def fn_nr(a0, a1, b0, b1):
+            def mk(x, y):
+                return Ctxt(ctx, pk,
+                            [(SKHandle(0, 1, 0), x), (SKHandle(1, 1, 0), y)],
+                            ctx.L, False, 1, noise, 1)
+            out = mk(a0, a1).tensor(mk(b0, b1))
+            parts = dict((h.powS, d) for h, d in out.parts)
+            return parts[0], parts[1], parts[2]
+        jnr = lifted_jit(fn_nr, *args)
+        per = measure(lambda s: jnr(s[0], s[1], args[2], args[3]), jnr(*args))
+        emit("mult_no_relin", per)
+
+        # fused multiply-and-add (reference ckks_basic.cpp:213)
+        phase("mult_add")
+        q, _ = ctx.dev_q(ctx.L, False)
+
+        def fn_ma(a0, a1, b0, b1, d0, d1):
+            r0, r1 = fn(a0, a1, b0, b1)
+            return add_mod(r0, d0, q), add_mod(r1, d1, q)
+        jma = lifted_jit(fn_ma, *args, args[0], args[1])
+        per = measure(lambda s: jma(s[0], s[1], args[2], args[3],
+                                    args[0], args[1]),
+                      jma(*args, args[0], args[1]))
+        emit("mult_add", per)
+
+        phase("add/sub/negate")
+        jadd = jax.jit(lambda a, b: add_mod(a, b, q))
+        jsub = jax.jit(lambda a, b: sub_mod(a, b, q))
+        jneg = jax.jit(lambda a: neg_mod(a, q))
+        emit("add", measure(lambda s: jadd(s, args[2]), jadd(args[0], args[2])),
+             unit="us")
+        emit("sub", measure(lambda s: jsub(s, args[2]), jsub(args[0], args[2])),
+             unit="us")
+        emit("negate", measure(lambda s: jneg(s), jneg(args[0])), unit="us")
+
+        phase("rotate")
+        rfn, rargs = make_automorph_relin(ctx, sk)
+        jrot = lifted_jit(rfn, *rargs)
+        per = measure(lambda s: jrot(s[0], s[1]), jrot(*rargs))
+        emit("rotate1", per)
+
+        phase("encrypt")
+        efn = make_encrypt(ctx, pk)
+        jenc = lifted_jit(efn, jax.random.PRNGKey(0), args[0])
+
+        def enc_step(s):
+            key, _ = s
+            key = jax.random.split(key, 1)[0]
+            return (key, jenc(key, args[0]))
+        per = measure(enc_step, (jax.random.PRNGKey(0),
+                                 jenc(jax.random.PRNGKey(0), args[0])))
+        emit("encrypt", per)
+
+        phase("decrypt")
+        ea = EncryptedArrayCKKS(ctx)
+        rng = np.random.default_rng(7)
+        vals = rng.normal(size=ea.nslots) + 1j * rng.normal(size=ea.nslots)
+        ct = ea.encrypt(vals, pk, rng)
+        ea.decrypt(ct, sk)      # warm
+        t0 = time.time()
+        for _ in range(5):
+            ea.decrypt(ct, sk)
+        emit("decrypt", (time.time() - t0) / 5)
+
+
 if __name__ == "__main__":
     suite = "all"
     quick = False
@@ -264,3 +409,5 @@ if __name__ == "__main__":
         bench_bgv(quick)
     if suite in ("ckks", "all"):
         bench_ckks(quick)
+    if suite in ("ckks_ops",):
+        bench_ckks_ops(quick)
