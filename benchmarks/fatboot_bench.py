@@ -15,11 +15,17 @@ we keep c=3 which our uniform-prime chain uses throughout):
 Usage: python benchmarks/fatboot_bench.py [tiny|small|big] [reps]
 """
 
+import os
 import sys
 import time
 import pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+# See thinboot_bench.py: boot rows use the worst-case mod-switch bound so
+# numbers stay comparable across rounds; the measured-noise default is
+# benchmarked separately (benchmarks/modswitch_overhead.py).
+os.environ.setdefault("HELIB_EXACT_MODSWITCH", "0")
 
 import numpy as np
 

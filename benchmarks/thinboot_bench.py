@@ -12,11 +12,19 @@ Params (reference naming):
 Usage: python benchmarks/thinboot_bench.py [tiny|small] [reps]
 """
 
+import os
 import sys
 import time
 import pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+# Boot latency rows are reported with the worst-case mod-switch bound
+# (HELIB_EXACT_MODSWITCH=0) so numbers stay comparable across rounds; the
+# measured-noise default's overhead is benchmarked separately
+# (benchmarks/modswitch_overhead.py).  Export HELIB_EXACT_MODSWITCH=1 to
+# time the measured-noise path here instead.
+os.environ.setdefault("HELIB_EXACT_MODSWITCH", "0")
 
 import numpy as np
 

@@ -139,72 +139,6 @@ class Ctxt:
         rounding = ctx.noise_uniform(math.log2(ps / 2.0))
         return acc + rounding
 
-    def _measured_modswitch_noise(self, old_parts, new_parts, D: int,
-                                  new_k: int, new_special: bool) -> float:
-        """EXACT canonical-embedding norm of the mod-switch delta
-        (reference behavior at Ctxt.cpp:491-503, where modDownToSet
-        measures the actual noise added instead of using the worst-case
-        bound).  Enabled by HELIB_EXACT_MODSWITCH=1.
-
-        The rounding remainder of part j is r_j = D * v'_j - v_j, an
-        integer polynomial with |coeffs| <= ~D * ptxt_space / 2; the
-        added noise is ||r_j||_can / D.  r_j's residues on the remaining
-        rows are computed pointwise in the eval domain, one inverse NTT +
-        balanced CRT lift recovers exact coefficients, and one complex
-        FFT gives the canonical norm.  Each part's norm is scaled by the
-        key-power bound B_s^powS, matching mod_switch_added_noise."""
-        import numpy as np
-        from .norms import embedding_largest_float_log2
-        ctx = self.ctx
-        old_rows = ctx.rows_of(self.k, self.special)
-        new_rows = ctx.rows_of(new_k, new_special)
-        drop_rows = tuple(r for r in old_rows if r not in new_rows)
-        drop_pos = np.array([old_rows.index(r) for r in drop_rows])
-        d = ctx.all_q[np.array(drop_rows)].astype(np.uint64)
-        ps = 1 if self.is_ckks else self.ptxt_space
-        # Mirror _rt_scale_down_impl's delta construction host-side from
-        # the OLD parts' DROPPED rows (delta is defined mod D, so this is
-        # exact for ANY drop size — the remaining-rows reconstruction of
-        # round 4's first attempt aliased once D exceeded Q_remaining):
-        #   delta/D = sum_i y_i/d_i - alpha_b + eps,   |delta/D| <= ps
-        # float64 per-term O(1) precision is ample for a noise bound.
-        Dint = 1
-        for x in d:
-            Dint *= int(x)
-        c_i = np.array([pow((Dint // int(di)) % int(di), -1, int(di))
-                        for di in d], dtype=np.uint64)
-        acc = NEG_INF
-        for h, old_d in old_parts:
-            x_eval = np.asarray(old_d)[..., drop_pos, :]
-            x_coeff = np.asarray(ctx.inv_ntt(x_eval, drop_rows),
-                                 dtype=np.uint64)
-            if x_coeff.ndim > 2:
-                x_coeff = x_coeff.reshape(-1, *x_coeff.shape[-2:])[0]
-            y = (x_coeff * c_i[:, None]) % d[:, None]
-            z = np.sum(y.astype(np.float64) / d[:, None].astype(np.float64),
-                       axis=-2)
-            alpha_b = np.floor(z)
-            alpha_b += (z - alpha_b) >= 0.5
-            frac = z - alpha_b                       # delta0/D in [-1/2, 1/2)
-            if ps > 1:
-                # eps = -delta0 * D^{-1} mod ps, balanced (kernel parity)
-                d0_ps = (np.sum((y % ps) * np.array(
-                    [(Dint // int(di)) % ps for di in d],
-                    dtype=np.uint64)[:, None], axis=-2)
-                    + (ps - (alpha_b.astype(np.int64) * (Dint % ps)) % ps)
-                    ) % ps
-                eps = (ps - d0_ps) * pow(Dint % ps, -1, ps) % ps
-                eps = eps.astype(np.float64)
-                eps -= (eps > ps // 2) * ps
-                frac = frac + eps
-            if not np.any(frac):
-                continue
-            norm = embedding_largest_float_log2(frac, ctx.m, ctx.pal.pow2)
-            bound = norm + (h.powS * self.pubkey.sk_bound
-                            if not h.is_one else 0.0)
-            acc = log2_add(acc, bound)
-        return acc if acc > NEG_INF else self.mod_switch_added_noise()
-
     # ------------------------------------------------------- mod switching
     def mod_down_to(self, new_k: int, new_special: bool):
         """Real modulus switching down (reference Ctxt::modDownToSet)."""
@@ -215,44 +149,64 @@ class Ctxt:
         added = self.mod_switch_added_noise()
         drop_bits = self.log2_modulus()
         ps = self.ptxt_space if self.ctx.scheme == "bgv" else 1
-        old_rows = set(self.ctx.rows_of(self.k, self.special))
-        new_rows = set(self.ctx.rows_of(new_k, new_special))
-        D = 1
-        for ridx in old_rows - new_rows:
-            D *= int(self.ctx.all_q[ridx])
-        old_parts = self.parts
-        new_parts = []
-        for h, data in self.parts:
-            new_parts.append((h, rt_scale_down(
-                self.ctx, data, self.k, self.special, new_k, new_special, ps)))
         import os
         flag = os.environ.get("HELIB_EXACT_MODSWITCH", "")
-        # Measured mod-switch noise (reference Ctxt.cpp:491-503).  The
-        # reference measures for free (the delta is already host-side in
-        # its design); for us it costs an extra inverse-NTT dispatch +
-        # host CRT + FFT per drop.  Measured round 4 on the m=1271 thin
-        # bootstrap: default-ON = 18.6 s vs 3.3 s per recrypt (5.6x) for
-        # +3.3 bits of capacity — so the default is ON only for TINY
-        # rings (phi <= 512: the depth-critical example/test configs,
-        # where worst-case bounds actually exhaust capacity and the
-        # measurement is ~free), opt-in elsewhere via
-        # HELIB_EXACT_MODSWITCH=1 (any phi <= 2^16); =0 disables fully.
-        enabled = not self.is_ckks and (
-            flag == "1" and self.ctx.phi_m <= (1 << 16)
-            or not flag and self.ctx.phi_m <= 512)
+        # Measured mod-switch noise (reference Ctxt.cpp:491-503, where it
+        # is unconditional).  The balanced delta/D remainder is a free
+        # byproduct of the scale-down kernel (dcrt.rt_scale_down
+        # want_frac=True: the kernel already computes it), so measuring
+        # costs one [N]-float transfer + one host FFT per part — ON by
+        # default for all eager BGV paths since round 5.
+        # HELIB_EXACT_MODSWITCH=0 falls back to the worst-case bound;
+        # inside jit traces the measurement is skipped (noise bookkeeping
+        # is host-side float math).
+        enabled = not self.is_ckks and flag != "0"
         if enabled:
             import jax.core
             enabled = not any(isinstance(d, jax.core.Tracer)
-                              for _, d in new_parts)
+                              for _, d in self.parts)
+        new_parts = []
+        fracs = []
+        for h, data in self.parts:
+            if enabled:
+                nd, frac = rt_scale_down(
+                    self.ctx, data, self.k, self.special, new_k, new_special,
+                    ps, want_frac=True)
+                new_parts.append((h, nd))
+                fracs.append((h, frac))
+            else:
+                new_parts.append((h, rt_scale_down(
+                    self.ctx, data, self.k, self.special, new_k,
+                    new_special, ps)))
         if enabled:
-            added = min(added, self._measured_modswitch_noise(
-                old_parts, new_parts, D, new_k, new_special))
+            import numpy as np
+            from .norms import embedding_largest_float_log2
+            measured = NEG_INF
+            for h, frac in fracs:
+                fr = np.asarray(frac)
+                if fr.ndim > 1:
+                    fr = fr.reshape(-1, fr.shape[-1])[0]
+                if not np.any(fr):
+                    continue
+                norm = embedding_largest_float_log2(fr, self.ctx.m,
+                                                    self.ctx.pal.pow2)
+                bound = norm + (h.powS * self.pubkey.sk_bound
+                                if not h.is_one else 0.0)
+                measured = log2_add(measured, bound)
+            if measured > NEG_INF:
+                added = min(added, measured)
+        k_before, special_before = self.k, self.special
         self.parts = new_parts
         self.k, self.special = new_k, new_special
         drop_bits -= self.log2_modulus()
         self.noise = log2_add(self.noise - drop_bits, added)
         if self.is_ckks:
             from fractions import Fraction
+            old_rows = set(self.ctx.rows_of(k_before, special_before))
+            new_rows = set(self.ctx.rows_of(new_k, new_special))
+            D = 1
+            for ridx in old_rows - new_rows:
+                D *= int(self.ctx.all_q[ridx])
             self.ratFactor = Fraction(self.ratFactor) / D
 
     def drop_special_primes(self):

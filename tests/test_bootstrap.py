@@ -62,6 +62,7 @@ def test_thin_recrypt_composite_m():
 
 
 @pytest.mark.slow
+@pytest.mark.big_mem
 def test_thin_recrypt_tree_maps():
     """Thin bootstrap at m=255 with the scalable factor-tree ThinEvalMap
     (3 coprime factors, d=8, 16 slots) — the reference ThinEvalMap route."""
@@ -84,6 +85,7 @@ def test_thin_recrypt_tree_maps():
 
 
 @pytest.mark.slow
+@pytest.mark.big_mem
 def test_thin_recrypt_pr_space():
     """Thin bootstrap with plaintext space p^r = 4 (r=2): exercises the
     bottom-digit correction branch of extractDigitsThin."""
@@ -103,6 +105,7 @@ def test_thin_recrypt_pr_space():
 
 
 @pytest.mark.slow
+@pytest.mark.big_mem
 def test_fat_recrypt_tree_maps():
     """Fat bootstrap at m=255 with the scalable factor-tree EvalMap
     (BlockMatMul1D last-factor stage + powerful-basis rounding) — the

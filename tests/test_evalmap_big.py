@@ -35,6 +35,7 @@ def _slot_positions(ctx, tmap, phis):
 
 
 @pytest.mark.slow
+@pytest.mark.big_mem
 def test_m35113_thin_factor_tree_cleartext():
     from helib_tpu.debugging import PtSim
     from helib_tpu.powerful import PowerfulBasis

@@ -101,7 +101,9 @@ def test_exact_modswitch_noise_tightens_estimate(monkeypatch):
         if exact:
             monkeypatch.setenv("HELIB_EXACT_MODSWITCH", "1")
         else:
-            monkeypatch.delenv("HELIB_EXACT_MODSWITCH", raising=False)
+            # "0" = worst-case bound only (the measurement is ON by
+            # default since round 5, so the baseline must opt out)
+            monkeypatch.setenv("HELIB_EXACT_MODSWITCH", "0")
         r2 = np.random.default_rng(13)
         ct = ea.encrypt(list(vals), pk, r2)
         ct = ct.square(sk)
