@@ -9,7 +9,8 @@ run() {
   local name="$1" tmo="$2"; shift 2
   echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
   timeout "$tmo" "$@" 2>&1 | grep -vE "WARNING:|E08|Loading XLA" | tee -a "$LOG"
-  echo "--- exit=$? ---" | tee -a "$LOG"
+  local rc=${PIPESTATUS[0]}
+  echo "--- exit=$rc ---" | tee -a "$LOG"
 }
 
 run headline      600  python bench.py

@@ -5,7 +5,8 @@ run() {
   local name="$1" tmo="$2"; shift 2
   echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
   timeout "$tmo" "$@" 2>&1 | stdbuf -oL grep -vE "WARNING:|E08|Loading XLA" | tee -a "$LOG"
-  echo "--- exit=$? ---" | tee -a "$LOG"
+  local rc=${PIPESTATUS[0]}
+  echo "--- exit=$rc ---" | tee -a "$LOG"
 }
 run ckks           5400 python benchmarks/bench_suite.py suite=ckks
 run thinboot_tiny  2400 python benchmarks/thinboot_bench.py tiny 2

@@ -8,7 +8,8 @@ run() {
   local name="$1" tmo="$2"; shift 2
   echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
   timeout "$tmo" "$@" 2>&1 | stdbuf -oL grep -vE "WARNING:|E08|Loading XLA" | tee -a "$LOG"
-  echo "--- exit=$? ---" | tee -a "$LOG"
+  local rc=${PIPESTATUS[0]}
+  echo "--- exit=$rc ---" | tee -a "$LOG"
 }
 run thinboot_small 2100 python benchmarks/thinboot_bench.py small 2
 run bgv_big        1800 env HELIB_BENCH_BIG_ONLY=1 python benchmarks/bench_suite.py suite=bgv

@@ -145,7 +145,7 @@ class BenesNetwork:
         return v
 
     # -- homomorphic application ------------------------------------------
-    def apply(self, ea, ctxt, sk):
+    def apply(self, ea, ctxt, key):
         """Per (level, delta): keep⊙x + rot(x,+d)⊙dst + rot(x,-d)⊙src
         (reference PermNetwork::applyToCtxt, PermNetwork.cpp:217)."""
         cur = ctxt
@@ -156,9 +156,9 @@ class BenesNetwork:
                 src = mask.astype(np.int64)
                 dst = np.roll(src, d)
                 keep = keep * (1 - src) * (1 - dst)
-                right = ea.rotate(cur.copy(), d, sk)
+                right = ea.rotate(cur.copy(), d, key)
                 right.mul_constant_poly(ea.encode(list(dst)))
-                left = ea.rotate(cur.copy(), -d, sk)
+                left = ea.rotate(cur.copy(), -d, key)
                 left.mul_constant_poly(ea.encode(list(src)))
                 part = right.add(left)
                 acc = part if acc is None else acc.add(part)

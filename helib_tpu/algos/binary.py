@@ -17,8 +17,8 @@ def _xor(a, b):
     return a.copy().add(b)
 
 
-def _and(a, b, sk):
-    return a.multiply(b, sk)
+def _and(a, b, key):
+    return a.multiply(b, key)
 
 
 def _zero(ea, bit):
@@ -34,7 +34,7 @@ def _const_one(ea, like):
     return out
 
 
-def add_two_numbers(ea, a: list, b: list, sk, out_bits: int | None = None):
+def add_two_numbers(ea, a: list, b: list, key, out_bits: int | None = None):
     """Binary addition (reference addTwoNumbers, binaryArith.cpp:644).
     Ripple-carry; a, b little-endian bit lists (may differ in length)."""
     n = max(len(a), len(b))
@@ -50,24 +50,24 @@ def add_two_numbers(ea, a: list, b: list, sk, out_bits: int | None = None):
             break
         if ai is None:
             s = bi.copy() if carry is None else _xor(bi, carry)
-            c = None if carry is None else _and(bi, carry, sk)
+            c = None if carry is None else _and(bi, carry, key)
         elif bi is None:
             s = ai.copy() if carry is None else _xor(ai, carry)
-            c = None if carry is None else _and(ai, carry, sk)
+            c = None if carry is None else _and(ai, carry, key)
         else:
             axb = _xor(ai, bi)
             s = axb if carry is None else _xor(axb, carry)
-            ab = _and(ai, bi, sk)
+            ab = _and(ai, bi, key)
             if carry is None:
                 c = ab
             else:
-                c = _xor(ab, _and(axb, carry, sk))
+                c = _xor(ab, _and(axb, carry, key))
         out.append(s)
         carry = c
     return out[:out_bits]
 
 
-def three_for_two(ea, a: list, b: list, c: list, sk):
+def three_for_two(ea, a: list, b: list, c: list, key):
     """Carry-save: three numbers -> two with the same sum (reference
     addManyNumbers' 3-for-2 step, binaryArith.cpp:895)."""
     n = max(len(a), len(b), len(c))
@@ -83,23 +83,23 @@ def three_for_two(ea, a: list, b: list, c: list, sk):
             carry.append(None)
         elif len(bits) == 2:
             s.append(_xor(bits[0], bits[1]))
-            carry.append(_and(bits[0], bits[1], sk))
+            carry.append(_and(bits[0], bits[1], key))
         else:
             x, y, z = bits
             xy = _xor(x, y)
             s.append(_xor(xy, z))
             # maj(x,y,z) = xy*z + x*y  (GF(2))
-            carry.append(_xor(_and(xy, z, sk), _and(x, y, sk)))
+            carry.append(_xor(_and(xy, z, key), _and(x, y, key)))
     return s, [v for v in carry]
 
 
-def add_many_numbers(ea, nums: list, sk, out_bits: int | None = None):
+def add_many_numbers(ea, nums: list, key, out_bits: int | None = None):
     """Sum a list of binary numbers via 3-for-2 reduction then one final
     two-number add (reference addManyNumbers, binaryArith.cpp:895)."""
     nums = [list(v) for v in nums]
     while len(nums) > 2:
         a, b, c = nums.pop(), nums.pop(), nums.pop()
-        s, cr = three_for_two(ea, a, b, c, sk)
+        s, cr = three_for_two(ea, a, b, c, key)
         nums.append([x for x in s])
         nums.append([x for x in cr if True])
         # strip leading Nones in the carry number
@@ -107,22 +107,22 @@ def add_many_numbers(ea, nums: list, sk, out_bits: int | None = None):
     if len(nums) == 1:
         return nums[0]
     a, b = nums
-    return add_two_numbers(ea, a, b, sk, out_bits)
+    return add_two_numbers(ea, a, b, key, out_bits)
 
 
-def mult_two_numbers(ea, a: list, b: list, sk, out_bits: int | None = None):
+def mult_two_numbers(ea, a: list, b: list, key, out_bits: int | None = None):
     """Binary multiplication via partial products + multi-add (reference
     multTwoNumbers, binaryArith.cpp:1027)."""
     out_bits = out_bits or (len(a) + len(b))
     partials = []
     for i, bi in enumerate(b):
-        row = [None] * i + [_and(aj, bi, sk) for aj in a]
+        row = [None] * i + [_and(aj, bi, key) for aj in a]
         row = [(_zero(ea, bi) if v is None else v) for v in row[:out_bits]]
         partials.append(row)
-    return add_many_numbers(ea, partials, sk, out_bits)
+    return add_many_numbers(ea, partials, key, out_bits)
 
 
-def negate_number(ea, a: list, sk, width: int):
+def negate_number(ea, a: list, key, width: int):
     """Two's complement negation: flip bits, add 1."""
     flipped = []
     for i in range(width):
@@ -133,10 +133,10 @@ def negate_number(ea, a: list, sk, width: int):
             f = _const_one(ea, a[0])
         flipped.append(f)
     one = [_const_one(ea, a[0])]
-    return add_two_numbers(ea, flipped, one, sk, width)
+    return add_two_numbers(ea, flipped, one, key, width)
 
 
-def compare_two_numbers(ea, a: list, b: list, sk):
+def compare_two_numbers(ea, a: list, b: list, key):
     """(gt, eq) indicator bits (reference compareTwoNumbers,
     binaryCompare.cpp:255): gt = [a > b], eq = [a == b], slot-wise."""
     n = max(len(a), len(b))
@@ -155,14 +155,14 @@ def compare_two_numbers(ea, a: list, b: list, sk):
         if bi is None:
             bi = _zero(ea, a[0])
         ne = _xor(ai, bi)                      # bits differ
-        gt_here = _and(ai, _xor(bi, _const_one(ea, bi)), sk)  # ai & ~bi
+        gt_here = _and(ai, _xor(bi, _const_one(ea, bi)), key)  # ai & ~bi
         if eq_suffix is None:
             gt = gt_here
             eq_suffix = _xor(ne, _const_one(ea, ne))
         else:
-            t = _and(eq_suffix, gt_here, sk)
+            t = _and(eq_suffix, gt_here, key)
             gt = _xor(gt, t)
-            eq_suffix = _and(eq_suffix, _xor(ne, _const_one(ea, ne)), sk)
+            eq_suffix = _and(eq_suffix, _xor(ne, _const_one(ea, ne)), key)
     return gt, eq_suffix
 
 
@@ -180,13 +180,13 @@ def bitwise_xor(ea, a: list, b: list):
     return out
 
 
-def bitwise_and(ea, a: list, b: list, sk):
-    return [_and(x, y, sk) for x, y in zip(a, b)]
+def bitwise_and(ea, a: list, b: list, key):
+    return [_and(x, y, key) for x, y in zip(a, b)]
 
 
-def bitwise_or(ea, a: list, b: list, sk):
+def bitwise_or(ea, a: list, b: list, key):
     """x | y = x + y + x*y over GF(2) (reference bitwiseOr)."""
-    return [_xor(_xor(x, y), _and(x, y, sk)) for x, y in zip(a, b)]
+    return [_xor(_xor(x, y), _and(x, y, key)) for x, y in zip(a, b)]
 
 
 def bitwise_not(ea, a: list):
@@ -245,7 +245,7 @@ def split_binary_nums(a: list, left_size: int):
 # fifteenOrLess4Four, binaryArith.cpp:1080-1341).
 # ---------------------------------------------------------------------------
 
-def _three_for_two_bits(x, y, z, sk):
+def _three_for_two_bits(x, y, z, key):
     """(lsb, msb) of x+y+z for single bits; inputs may be None (= zero).
     lsb = x^y^z, msb = majority = (x^y)·z ^ x·y (reference three4Two)."""
     bits = [v for v in (x, y, z) if v is not None]
@@ -254,31 +254,31 @@ def _three_for_two_bits(x, y, z, sk):
     if len(bits) == 1:
         return bits[0].copy(), None
     if len(bits) == 2:
-        return _xor(bits[0], bits[1]), _and(bits[0], bits[1], sk)
+        return _xor(bits[0], bits[1]), _and(bits[0], bits[1], key)
     x, y, z = bits
     xy = _xor(x, y)
-    return _xor(xy, z), _xor(_and(xy, z, sk), _and(x, y, sk))
+    return _xor(xy, z), _xor(_and(xy, z, key), _and(x, y, key))
 
 
-def seven_for_three(ea, bits: list, sk, size_limit: int = 3):
+def seven_for_three(ea, bits: list, key, size_limit: int = 3):
     """Sum of up to 7 bits as a 3-bit counter [lsb..msb]
     (reference seven4Three, binaryArith.cpp:1128-1178)."""
     bits = list(bits) + [None] * (7 - len(bits))
-    b1, b2 = _three_for_two_bits(bits[0], bits[1], bits[2], sk)
-    b3, b4 = _three_for_two_bits(bits[3], bits[4], bits[5], sk)
-    c1, c2 = _three_for_two_bits(bits[6], b1, b3, sk)
+    b1, b2 = _three_for_two_bits(bits[0], bits[1], bits[2], key)
+    b3, b4 = _three_for_two_bits(bits[3], bits[4], bits[5], key)
+    c1, c2 = _three_for_two_bits(bits[6], b1, b3, key)
     out = [c1 if c1 is not None else _zero(ea, _first(bits))]
     if size_limit < 2:
         return out
-    c3, c4 = _three_for_two_bits(b2, b4, None, sk)
-    d1, _ = _three_for_two_bits(c2, c3, None, sk)
+    c3, c4 = _three_for_two_bits(b2, b4, None, key)
+    d1, _ = _three_for_two_bits(c2, c3, None, key)
     out.append(d1 if d1 is not None else _zero(ea, out[0]))
     if size_limit < 3:
         return out
     # d2 = carry(c2,c3) ^ c4
     d2, _ = (None, None)
     if c2 is not None and c3 is not None:
-        d2 = _and(c2, c3, sk)
+        d2 = _and(c2, c3, key)
     if c4 is not None:
         d2 = c4.copy() if d2 is None else _xor(d2, c4)
     out.append(d2 if d2 is not None else _zero(ea, out[0]))
@@ -292,7 +292,7 @@ def _first(bits):
     raise ValueError("all-None bit list")
 
 
-def fifteen_for_four(ea, bits: list, sk, size_limit: int = 4):
+def fifteen_for_four(ea, bits: list, key, size_limit: int = 4):
     """Sum of up to 15 bits as a 4-bit counter [lsb..msb]
     (reference fifteen4Four scheme, binaryArith.cpp:1180-1315)."""
     z = lambda: _zero(ea, _first(bits))
@@ -300,21 +300,21 @@ def fifteen_for_four(ea, bits: list, sk, size_limit: int = 4):
     b = {}
     for k in range(5):                      # b2k+2 b2k+1 = 3for2(in[3k..3k+2])
         lo, hi = _three_for_two_bits(bits[3 * k], bits[3 * k + 1],
-                                     bits[3 * k + 2], sk)
+                                     bits[3 * k + 2], key)
         b[2 * k + 1], b[2 * k + 2] = lo, hi
-    c1, c2 = _three_for_two_bits(b[1], b[3], b[5], sk)
-    c3, c4 = _three_for_two_bits(b[2], b[4], b[6], sk)
-    d1, d2 = _three_for_two_bits(b[7], b[9], c1, sk)
+    c1, c2 = _three_for_two_bits(b[1], b[3], b[5], key)
+    c3, c4 = _three_for_two_bits(b[2], b[4], b[6], key)
+    d1, d2 = _three_for_two_bits(b[7], b[9], c1, key)
     out = [d1 if d1 is not None else z()]
     if size_limit < 2:
         return out
-    d3, d4 = _three_for_two_bits(b[8], b[10], c2, sk)
-    e1, e2 = _three_for_two_bits(c3, d2, d3, sk)
+    d3, d4 = _three_for_two_bits(b[8], b[10], c2, key)
+    e1, e2 = _three_for_two_bits(c3, d2, d3, key)
     out.append(e1 if e1 is not None else z())
     if size_limit < 3:
         return out
-    e3, e4 = _three_for_two_bits(c4, d4, None, sk)
-    f1, f2c = _three_for_two_bits(e2, e3, None, sk)
+    e3, e4 = _three_for_two_bits(c4, d4, None, key)
+    f1, f2c = _three_for_two_bits(e2, e3, None, key)
     out.append(f1 if f1 is not None else z())
     if size_limit < 4:
         return out
@@ -328,7 +328,7 @@ def fifteen_for_four(ea, bits: list, sk, size_limit: int = 4):
     return out
 
 
-def fifteen_or_less_4_four(ea, bits: list, sk, size_limit: int = 4):
+def fifteen_or_less_4_four(ea, bits: list, key, size_limit: int = 4):
     """Sum up to 15 same-significance bits (entries may be None) into a
     little-endian counter; returns (counter_bits, n_meaningful) like the
     reference's return count (reference fifteenOrLess4Four,
@@ -340,18 +340,18 @@ def fifteen_or_less_4_four(ea, bits: list, sk, size_limit: int = 4):
     if n == 0:
         return [], 0
     if n > 7:
-        return fifteen_for_four(ea, bits, sk, size_limit), 4
+        return fifteen_for_four(ea, bits, key, size_limit), 4
     if n > 3:
-        out = seven_for_three(ea, live, sk, min(size_limit, 3))
+        out = seven_for_three(ea, live, key, min(size_limit, 3))
         return out, 3
-    lo, hi = _three_for_two_bits(*(live + [None] * (3 - n)), sk)
+    lo, hi = _three_for_two_bits(*(live + [None] * (3 - n)), key)
     out = [lo]
     if hi is not None and size_limit >= 2:
         out.append(hi)
     return out, len(out)
 
 
-def binary_cond(ea, cond, a: list, b: list, sk):
+def binary_cond(ea, cond, a: list, b: list, key):
     """Bit-sliced mux: cond ? a : b (reference binaryCond,
     binaryArith.h:259)."""
     out = []
@@ -361,13 +361,13 @@ def binary_cond(ea, cond, a: list, b: list, sk):
         bi = b[i] if i < len(b) else _zero(ea, cond)
         # cond*ai + (1-cond)*bi = bi + cond*(ai xor bi)  over GF(2)
         d = _xor(ai, bi)
-        out.append(_xor(bi, _and(cond, d, sk)))
+        out.append(_xor(bi, _and(cond, d, key)))
     return out
 
 
-def binary_mask(ea, cond, a: list, sk):
+def binary_mask(ea, cond, a: list, key):
     """Zero out a where cond=0 (reference binaryMask)."""
-    return [_and(x, cond, sk) for x in a]
+    return [_and(x, cond, key) for x in a]
 
 
 def encrypt_number(ea, pk, rng, values, width: int):

@@ -53,7 +53,7 @@ def _poly_mul(a, b, m):
     return out
 
 
-def extract_digits(ctxt, sk, r: int | None = None) -> list:
+def extract_digits(ctxt, key, r: int | None = None) -> list:
     """Returns digits[0..r-1]; slot i of digits[j] = j-th base-p digit of the
     integer in slot i of ctxt (reference extractDigits, extractDigits.cpp:70)."""
     ctx = ctxt.ctx
@@ -70,12 +70,12 @@ def extract_digits(ctxt, sk, r: int | None = None) -> list:
         for j in range(i):
             _boot_trace(f"  digit {j}: lift (k={digits[j].k})")
             if p == 2:
-                digits[j] = digits[j].square(sk)
+                digits[j] = digits[j].square(key)
             elif p == 3:
-                digits[j] = digits[j].multiply(digits[j], sk).multiply(
-                    digits[j], sk)
+                digits[j] = digits[j].multiply(digits[j], key).multiply(
+                    digits[j], key)
             else:
-                digits[j] = poly_eval(x2p, digits[j], sk)
+                digits[j] = poly_eval(x2p, digits[j], key)
             _boot_sync(digits[j])
             _boot_trace(f"  digit {j}: sub+divide (k={tmp.k})")
             tmp = tmp.sub(digits[j])
@@ -191,7 +191,7 @@ def compute_magic_poly(p: int, e: int) -> list[int]:
     return res
 
 
-def extend_extract_digits(ctxt, sk, r: int, e: int) -> list:
+def extend_extract_digits(ctxt, key, r: int, e: int) -> list:
     """Chen-Han digit extraction: input slots hold integers mod p^{r+e};
     digits[j] gets the j-th base-p digit with plaintext space p^{e+r-j},
     using the degree-((e+r-j-1)(p-1)+1) magic polynomials instead of repeated
@@ -211,14 +211,14 @@ def extend_extract_digits(ctxt, sk, r: int, e: int) -> list:
                 tmp = tmp.sub(digits[j])
             else:
                 if p == 2:
-                    digits0[j] = digits0[j].square(sk)
+                    digits0[j] = digits0[j].square(key)
                 elif p == 3:
                     d = digits0[j]
-                    digits0[j] = d.multiply(d, sk).multiply(d, sk)
+                    digits0[j] = d.multiply(d, key).multiply(d, key)
                 else:
-                    digits0[j] = poly_eval(x2p, digits0[j], sk)
+                    digits0[j] = poly_eval(x2p, digits0[j], key)
                 tmp = tmp.sub(digits0[j])
             tmp.divide_by_p()
         digits0[i] = tmp
-        digits[i] = poly_eval(G[i], tmp, sk)
+        digits[i] = poly_eval(G[i], tmp, key)
     return digits

@@ -17,14 +17,14 @@ def build_unpack_slot_encoding(ea):
     return projection_maps(ea)
 
 
-def unpack(ea, ctxt, sk, unpack_encoding=None) -> list:
+def unpack(ea, ctxt, key, unpack_encoding=None) -> list:
     """One ciphertext with full-extension slots -> d ciphertexts with the
     j-th slot coefficient in the constant position (reference unpack)."""
     enc = unpack_encoding or build_unpack_slot_encoding(ea)
-    return [apply_linearized(ea, ctxt, coeffs, sk) for coeffs in enc]
+    return [apply_linearized(ea, ctxt, coeffs, key) for coeffs in enc]
 
 
-def repack(ea, ctxts: list, sk=None):
+def repack(ea, ctxts: list, key=None):
     """Inverse of unpack: sum_j Y^j * ctxts[j] (reference repack)."""
     acc = None
     for j, ct in enumerate(ctxts):

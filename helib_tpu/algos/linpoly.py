@@ -75,14 +75,14 @@ def lin_poly_coeffs(ea, images: list) -> list[np.ndarray]:
     return out
 
 
-def apply_linearized(ea, ctxt, coeffs: list, sk):
+def apply_linearized(ea, ctxt, coeffs: list, key):
     """sum_i encode(c_i) * sigma^{p^i}(ctxt) — applies the linear map
     slot-wise (reference applyLinPoly1)."""
     acc = None
     frob = ctxt
     for i, ci in enumerate(coeffs):
         if i > 0:
-            frob = frob.copy().frobenius(1, sk)
+            frob = frob.copy().frobenius(1, key)
         if not np.any(ci):
             continue
         t = frob.copy()

@@ -82,7 +82,7 @@ class MatMul1D:
         return slots
 
     # -- application -------------------------------------------------------
-    def apply(self, ctxt, sk, bsgs: bool | None = None):
+    def apply(self, ctxt, key, bsgs: bool | None = None):
         D = self.D
         ea = self.ea
         if bsgs is None:
@@ -92,7 +92,7 @@ class MatMul1D:
             rotated = ctxt
             for i in range(D):
                 if i > 0:
-                    rotated = ea.rotate_1d(ctxt.copy(), self.dim, i, sk)
+                    rotated = ea.rotate_1d(ctxt.copy(), self.dim, i, key)
                 fat = self._fat_diag(i)
                 if fat is None:
                     continue
@@ -110,13 +110,13 @@ class MatMul1D:
         if pal.native[self.dim] and g > 2 and isinstance(ctxt, _Ctxt):
             from ..nt.numbth import inv_mod
             from .hoisting import AutomorphPrecon
-            precon = AutomorphPrecon(ctxt, sk)
+            precon = AutomorphPrecon(ctxt, key)
             ginv = inv_mod(pal.gens[self.dim], ea.ctx.m)
             for l in range(1, g):
                 baby.append(precon.automorph(pow(ginv, l, ea.ctx.m)))
         else:
             for l in range(1, g):
-                baby.append(ea.rotate_1d(ctxt.copy(), self.dim, l, sk))
+                baby.append(ea.rotate_1d(ctxt.copy(), self.dim, l, key))
         acc = None
         for j in range(nj):
             inner = None
@@ -133,7 +133,7 @@ class MatMul1D:
             if inner is None:
                 continue
             if g * j:
-                inner = ea.rotate_1d(inner, self.dim, g * j, sk)
+                inner = ea.rotate_1d(inner, self.dim, g * j, key)
             acc = inner if acc is None else acc.add(inner)
         return acc if acc is not None else _zero_like(ctxt)
 
@@ -210,18 +210,18 @@ class BlockMatMul1D:
             out.append(self.ea.encode(slots) if nz else None)
         return out
 
-    def apply(self, ctxt, sk):
+    def apply(self, ctxt, key):
         ea = self.ea
         acc = None
         for i in range(self.D):
             encs = self._fat_lin_coeffs(i)
             if encs is None:
                 continue
-            rot = ea.rotate_1d(ctxt.copy(), self.dim, i, sk) if i else ctxt
+            rot = ea.rotate_1d(ctxt.copy(), self.dim, i, key) if i else ctxt
             frob = rot
             for f, enc in enumerate(encs):
                 if f > 0:
-                    frob = frob.copy().frobenius(1, sk)
+                    frob = frob.copy().frobenius(1, key)
                 if enc is None:
                     continue
                 t = frob.copy()
@@ -250,7 +250,7 @@ class MatMulFull:
                 if sl.any() else None)
         return self._fat_cache[i]
 
-    def apply(self, ctxt, sk):
+    def apply(self, ctxt, key):
         ea = self.ea
         n = ea.nslots
         # direct (dense) implementation over the linear slot index using
@@ -261,7 +261,7 @@ class MatMulFull:
             fat = self._fat_diag(i)
             if fat is None:
                 continue
-            rot = ea.rotate(ctxt.copy(), i, sk) if i else ctxt
+            rot = ea.rotate(ctxt.copy(), i, key) if i else ctxt
             t = rot.copy()
             t.mul_constant_fat(fat)
             acc = t if acc is None else acc.add(t)
@@ -317,18 +317,18 @@ class BlockMatMulFull:
                 self._fat_cache[i] = out
         return self._fat_cache[i]
 
-    def apply(self, ctxt, sk):
+    def apply(self, ctxt, key):
         ea = self.ea
         acc = None
         for i in range(ea.nslots):
             encs = self._fat_lin_coeffs(i)
             if encs is None:
                 continue
-            rot = ea.rotate(ctxt.copy(), i, sk) if i else ctxt
+            rot = ea.rotate(ctxt.copy(), i, key) if i else ctxt
             frob = rot
             for f, enc in enumerate(encs):
                 if f > 0:
-                    frob = frob.copy().frobenius(1, sk)
+                    frob = frob.copy().frobenius(1, key)
                 if enc is None:
                     continue
                 t = frob.copy()

@@ -29,7 +29,7 @@ class MatMulCKKS:
             out = np.roll(out, -rotated_by)
         return out
 
-    def apply(self, ctxt, sk, bsgs: bool | None = None):
+    def apply(self, ctxt, key, bsgs: bool | None = None):
         ea, n = self.ea, self.n
         if bsgs is None:
             bsgs = n >= 16
@@ -39,7 +39,7 @@ class MatMulCKKS:
                 dg = self._diag(i)
                 if not np.any(dg):
                     continue
-                rot = ea.rotate(ctxt.copy(), i, sk) if i else ctxt
+                rot = ea.rotate(ctxt.copy(), i, key) if i else ctxt
                 t = ea.mul_const(rot, dg)
                 acc = t if acc is None else acc.add(t)
             return acc
@@ -47,7 +47,7 @@ class MatMulCKKS:
         nj = (n + g - 1) // g
         baby = [ctxt]
         for l in range(1, g):
-            baby.append(ea.rotate(ctxt.copy(), l, sk))
+            baby.append(ea.rotate(ctxt.copy(), l, key))
         acc = None
         for j in range(nj):
             inner = None
@@ -63,6 +63,6 @@ class MatMulCKKS:
             if inner is None:
                 continue
             if g * j:
-                inner = ea.rotate(inner, g * j, sk)
+                inner = ea.rotate(inner, g * j, key)
             acc = inner if acc is None else acc.add(inner)
         return acc

@@ -404,7 +404,7 @@ class PermPrecomp:
         return out
 
     # -- application ------------------------------------------------------
-    def apply(self, ctxt, sk):
+    def apply(self, ctxt, key):
         ea = self.pip.ea
         occurrence: dict[int, int] = {}
         cur = ctxt
@@ -413,7 +413,7 @@ class PermPrecomp:
             occurrence[edim] = occ + 1
             dim, leaf = self.pip.expanded[edim]
             groups = leaf.groups1 if (leaf.mid or occ == 0) else leaf.groups2
-            cur = self._apply_colperm(cur, sk, edim, colperm, groups)
+            cur = self._apply_colperm(cur, key, edim, colperm, groups)
         return cur
 
     def _colperm_layers(self, edim, colperm, groups):
@@ -481,7 +481,7 @@ class PermPrecomp:
                     layer[dsp][self.inv_flat[eidx[c]]] = 1
         return layers
 
-    def _apply_colperm(self, ctxt, sk, edim, colperm, groups):
+    def _apply_colperm(self, ctxt, key, edim, colperm, groups):
         """Apply a ColPerm along expanded dim `edim` as a level-collapsed
         Benes network: per collapsed layer, one masked rotate1D per nonzero
         achievable offset (reference PermNetwork::applyToCtxt,
@@ -501,7 +501,7 @@ class PermPrecomp:
                 amt = (leaf.e * dsp) % n_dim
                 t = cur.copy()
                 t.mul_constant_poly(ea.encode(list(mask)))
-                t = ea.rotate_1d(t, dim, amt, sk)
+                t = ea.rotate_1d(t, dim, amt, key)
                 acc = t if acc is None else acc.add(t)
             t = cur.copy()
             t.mul_constant_poly(ea.encode(list(keep)))

@@ -41,17 +41,17 @@ class PermPrecomp:
             mask[sources] = 1
             self.masks[d] = ea.encode(list(mask))
 
-    def apply(self, ctxt, sk):
+    def apply(self, ctxt, key):
         acc = None
         for d, mask in self.masks.items():
             t = ctxt.copy()
             t.mul_constant_poly(mask)
             if d:
-                t = self.ea.rotate(t, d, sk)
+                t = self.ea.rotate(t, d, key)
             acc = t if acc is None else acc.add(t)
         return acc
 
 
-def apply_permutation(ea, ctxt, perm, sk):
+def apply_permutation(ea, ctxt, perm, key):
     """One-shot form (reference applyToCtxt, PermNetwork.cpp:217)."""
-    return PermPrecomp(ea, perm).apply(ctxt, sk)
+    return PermPrecomp(ea, perm).apply(ctxt, key)

@@ -13,8 +13,8 @@ import numpy as np
 class CtxtPowers:
     """Lazy cache of x^i (reference DynamicCtxtPowers, polyEval.h:45)."""
 
-    def __init__(self, x, sk):
-        self.sk = sk
+    def __init__(self, x, key):
+        self.sk = key
         self.cache = {1: x}
 
     def get(self, i: int):
@@ -30,7 +30,7 @@ class CtxtPowers:
         return out
 
 
-def poly_eval(coeffs, x, sk):
+def poly_eval(coeffs, x, key):
     """Evaluate sum coeffs[i]*x^i homomorphically (BGV, scalar coeffs mod
     p^r).  Paterson-Stockmeyer: degree-n poly with ~2*sqrt(n) ctxt mults."""
     pr = x.ptxt_space
@@ -44,7 +44,7 @@ def poly_eval(coeffs, x, sk):
         if coeffs:
             out.add_constant_poly(np.array([coeffs[0]], dtype=np.int64))
         return out
-    powers = CtxtPowers(x, sk)
+    powers = CtxtPowers(x, key)
     k = max(1, int(math.isqrt(n)))
     # giant steps: P(x) = sum_j B_j(x) * (x^k)^j, deg B_j < k
     blocks = [coeffs[i:i + k] for i in range(0, len(coeffs), k)]
@@ -68,7 +68,7 @@ def poly_eval(coeffs, x, sk):
     for bl in reversed(blocks):
         acc, c0 = eval_block(bl)
         if result is not None:
-            result = result.multiply(xk, sk)
+            result = result.multiply(xk, key)
         if acc is not None:
             result = acc if result is None else result.add(acc)
         if c0:
@@ -84,6 +84,6 @@ def poly_eval(coeffs, x, sk):
     return result
 
 
-def ctxt_power(x, e: int, sk):
+def ctxt_power(x, e: int, key):
     """x^e (reference Ctxt::power, polyEval.cpp:392)."""
-    return CtxtPowers(x, sk).get(e)
+    return CtxtPowers(x, key).get(e)

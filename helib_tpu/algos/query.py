@@ -224,16 +224,16 @@ class Database:
     """Columns of encrypted slot vectors; one DB record per slot
     (reference Database<TXT>, partialMatch.h:213)."""
 
-    def __init__(self, ea, sk, columns: list):
+    def __init__(self, ea, key, columns: list):
         self.ea = ea
-        self.sk = sk
+        self.key = key
         self.columns = columns          # list of Ctxt (or Ptxt arrays)
 
     def _match_column(self, col_ct, query_ct):
         """Slot-wise equality indicator: 1 - mapTo01(col - query)
         (reference calculateMasks, partialMatch.h:100-126)."""
         diff = col_ct.copy().sub(query_ct)
-        nz = map_to_01(self.ea, diff, self.sk)          # 1 iff different
+        nz = map_to_01(self.ea, diff, self.key)          # 1 iff different
         one = nz.copy()
         one.mul_constant_poly(np.zeros(1, dtype=np.int64))
         one.add_constant_poly(np.ones(1, dtype=np.int64))
@@ -269,7 +269,7 @@ class Database:
                 acc.add_constant_poly(np.array([mu], dtype=np.int64))
             factors.append(acc)
         from ..utils import total_product
-        return total_product(factors, self.sk)
+        return total_product(factors, self.key)
 
     def contains(self, query, query_cols: dict):
         """Indicator ciphertext: slot i is 1 iff record i matches (reference
@@ -286,7 +286,7 @@ class Database:
             return self._contains_bool(qt, query_cols)
         score = self.get_score(qt, query_cols)
         if qt.contains_or:
-            score = map_to_01(self.ea, score, self.sk)
+            score = map_to_01(self.ea, score, self.key)
         return score
 
     def _contains_bool(self, qt: QueryType, query_cols: dict):
@@ -308,7 +308,7 @@ class Database:
                 lit_false.append(t)
             if not lit_false:
                 continue
-            prod = total_product(lit_false, self.sk)    # all literals false
+            prod = total_product(lit_false, self.key)    # all literals false
             clause = prod.negate()
             clause.add_constant_poly(one_vec)           # 1 - prod
             clause_cts.append(clause)
@@ -317,7 +317,7 @@ class Database:
             one.mul_constant_poly(np.zeros(1, dtype=np.int64))
             one.add_constant_poly(one_vec)
             return one
-        return total_product(clause_cts, self.sk)
+        return total_product(clause_cts, self.key)
 
     def _as_query_type(self, query) -> QueryType:
         if isinstance(query, QueryType):

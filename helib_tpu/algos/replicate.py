@@ -50,17 +50,17 @@ class _Collector(ReplicateHandler):
         self.out[pos] = ctxt
 
 
-def replicate(ea, ctxt, pos: int, sk):
+def replicate(ea, ctxt, pos: int, key):
     """Broadcast slot `pos` to all slots (reference replicate,
     replicate.cpp:26): mask to the single slot, then log-depth rotate+add."""
     mask = np.zeros(ea.nslots, dtype=np.int64)
     mask[pos] = 1
     out = ctxt.copy()
     out.mul_constant_poly(ea.encode(list(mask)))
-    return total_sums(ea, out, sk)
+    return total_sums(ea, out, key)
 
 
-def _fill_period(ea, ctxt, size: int, half: int, offset: int, sk):
+def _fill_period(ea, ctxt, size: int, half: int, offset: int, key):
     """ctxt is periodic with period `size`; keep only the sub-block
     [offset, offset+half) of each period and spread it so the result is
     periodic with period `half` (mask + Halevi-Shoup rotation ladder —
@@ -82,16 +82,16 @@ def _fill_period(ea, ctxt, size: int, half: int, offset: int, sk):
         bits.append(v & 1)
         v >>= 1
     for b in reversed(bits):
-        out = out.copy().add(ea.rotate(out.copy(), e * half, sk))
+        out = out.copy().add(ea.rotate(out.copy(), e * half, key))
         e *= 2
         if b:
-            out = picked.copy().add(ea.rotate(out.copy(), half, sk))
+            out = picked.copy().add(ea.rotate(out.copy(), half, key))
             e += 1
     assert_true(e == count, 'invariant: e == count')
     return out
 
 
-def _rec(ea, ctxt, size: int, base: int, handler, sk):
+def _rec(ea, ctxt, size: int, base: int, handler, key):
     """ctxt periodic with period `size`; periods hold original slots
     [base, base+size) (mod the period structure)."""
     if handler.early_stop():
@@ -101,26 +101,26 @@ def _rec(ea, ctxt, size: int, base: int, handler, sk):
         return
     if size % 2 == 0:
         half = size // 2
-        left = _fill_period(ea, ctxt, size, half, 0, sk)
-        _rec(ea, left, half, base, handler, sk)
-        right = _fill_period(ea, ctxt, size, half, half, sk)
-        _rec(ea, right, half, base + half, handler, sk)
+        left = _fill_period(ea, ctxt, size, half, 0, key)
+        _rec(ea, left, half, base, handler, key)
+        right = _fill_period(ea, ctxt, size, half, half, key)
+        _rec(ea, right, half, base + half, handler, key)
     else:
         # odd block: replicate each remaining slot directly within the
         # periodic structure (mask one residue class, then fill)
         for j in range(size):
             if handler.early_stop():
                 return
-            out = _fill_period(ea, ctxt, size, 1, j, sk)
+            out = _fill_period(ea, ctxt, size, 1, j, key)
             handler.handle((base + j) % ea.nslots, out)
 
 
-def replicate_all(ea, ctxt, sk, handler: ReplicateHandler | None = None):
+def replicate_all(ea, ctxt, key, handler: ReplicateHandler | None = None):
     """Replicate every slot (reference replicateAll, replicate.cpp:716):
     recursive periodic-halving algorithm; returns the list of nslots
     ciphertexts when no handler is given, else streams to the handler."""
     collect = handler is None
     if collect:
         handler = _Collector(ea.nslots)
-    _rec(ea, ctxt, ea.nslots, 0, handler, sk)
+    _rec(ea, ctxt, ea.nslots, 0, handler, key)
     return handler.out if collect else None

@@ -9,7 +9,7 @@ import numpy as np
 from ..exceptions import assert_true
 
 
-def total_sums(ea, ctxt, sk):
+def total_sums(ea, ctxt, key):
     """Every slot becomes the sum of all slots (log-depth rotate+add)."""
     n = ea.nslots
     out = ctxt
@@ -21,34 +21,34 @@ def total_sums(ea, ctxt, sk):
         bits.append(v & 1)
         v >>= 1
     for b in reversed(bits):
-        out = out.copy().add(_rot(ea, out, e, sk))
+        out = out.copy().add(_rot(ea, out, e, key))
         e *= 2
         if b:
-            out = ctxt.copy().add(_rot(ea, out, 1, sk))
+            out = ctxt.copy().add(_rot(ea, out, 1, key))
             e += 1
     assert_true(e == n, 'invariant: e == n')
     return out
 
 
-def running_sums(ea, ctxt, sk):
+def running_sums(ea, ctxt, key):
     """Slot j becomes sum of slots 0..j (reference runningSums)."""
     n = ea.nslots
     out = ctxt
     shift = 1
     while shift < n:
-        shifted = _shift(ea, out, shift, sk)
+        shifted = _shift(ea, out, shift, key)
         out = out.copy().add(shifted)
         shift *= 2
     return out
 
 
-def _rot(ea, ctxt, amt, sk):
-    return ea.rotate(ctxt.copy(), amt, sk)
+def _rot(ea, ctxt, amt, key):
+    return ea.rotate(ctxt.copy(), amt, key)
 
 
-def _shift(ea, ctxt, amt, sk):
+def _shift(ea, ctxt, amt, key):
     """Global non-cyclic shift by amt (zero-fill below)."""
-    rotated = ea.rotate(ctxt.copy(), amt, sk)
+    rotated = ea.rotate(ctxt.copy(), amt, key)
     # mask out slots with linear index < amt
     mask = np.zeros(ea.nslots, dtype=np.int64)
     mask[amt:] = 1

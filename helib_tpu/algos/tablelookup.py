@@ -18,7 +18,7 @@ def _one_minus(ct):
     return out
 
 
-def compute_all_products(ea, bits: list, sk) -> list:
+def compute_all_products(ea, bits: list, key) -> list:
     """All 2^k products of (bits[i] / its complement) — index bit i chooses
     (reference computeAllProducts, tableLookup.cpp:37)."""
     k = len(bits)
@@ -28,19 +28,19 @@ def compute_all_products(ea, bits: list, sk) -> list:
     if k == 1:
         return [_one_minus(bits[0]), bits[0].copy()]
     mid = k // 2
-    lo = compute_all_products(ea, bits[:mid], sk)
-    hi = compute_all_products(ea, bits[mid:], sk)
+    lo = compute_all_products(ea, bits[:mid], key)
+    hi = compute_all_products(ea, bits[mid:], key)
     out = []
     for h in hi:
         for l in lo:
-            out.append(l.multiply(h, sk))
+            out.append(l.multiply(h, key))
     return out
 
 
-def table_lookup(ea, bits: list, table: list, sk):
+def table_lookup(ea, bits: list, table: list, key):
     """Select the table entry indexed by the encrypted bits; table entries
     are plaintext slot-vectors (reference tableLookup, tableLookup.cpp:83)."""
-    sel = compute_all_products(ea, bits, sk)
+    sel = compute_all_products(ea, bits, key)
     assert_true(len(table) <= len(sel), 'invariant: len(table) <= len(sel)')
     acc = None
     for idx, entry in enumerate(table):
@@ -53,12 +53,12 @@ def table_lookup(ea, bits: list, table: list, sk):
     return acc
 
 
-def table_write_in(ea, bits: list, table_ctxts: list, delta, sk):
+def table_write_in(ea, bits: list, table_ctxts: list, delta, key):
     """table[idx] += delta (encrypted idx; reference tableWriteIn,
     tableLookup.cpp:109).  Mutates the list of encrypted table entries."""
-    sel = compute_all_products(ea, bits, sk)
+    sel = compute_all_products(ea, bits, key)
     for idx in range(len(table_ctxts)):
-        t = sel[idx].multiply(delta, sk)
+        t = sel[idx].multiply(delta, key)
         table_ctxts[idx] = table_ctxts[idx].copy().add(t)
     return table_ctxts
 

@@ -162,7 +162,10 @@ class EncryptedArrayCKKS:
                 warning("CKKS decryption: 2^-prec < errorBound: "
                         "potential security risk", once=True)
             eps = eps1
-        vals = sk.decrypt_raw(ctxt).astype(object)
+        from . import dcrt as _dcrt
+        coeff_res, rows = sk._inner_product_residues(ctxt)
+        vals = _dcrt.crt_reconstruct(ctx, coeff_res, rows,
+                                     balanced=True).astype(object)
         # sigma chosen so sigma*B/ratFactor = eps, floored at 2*stdev for
         # security (reference Ctxt.cpp:3057-3079)
         phim = ctx.phi_m
@@ -175,12 +178,18 @@ class EncryptedArrayCKKS:
             warning("CKKS decryption: sigma set to sigma_min, "
                     "accuracy may be affected", once=True)
         # noise PRG seeded from a hash of (sk, ctxt) — random-oracle-style
-        # derandomization as in the reference (Ctxt.cpp:3083-3100)
+        # derandomization as in the reference (Ctxt.cpp:3083-3100).  The
+        # reference hashes the serialized (sk, full ctxt); we hash the
+        # sk coefficients + the <c,s> residues (already on host from the
+        # fused inner product) + the scaling factor: still a deterministic
+        # function of (sk, ctxt) under the same random-oracle argument,
+        # without re-fetching every ciphertext part from the device (the
+        # per-part pulls made decrypt ~46-66 ms over the remote-TPU tunnel).
         import hashlib
         h = hashlib.sha256()
         h.update(np.asarray(sk.s_coeffs).tobytes())
-        for _, d in ctxt.parts:
-            h.update(np.asarray(d).tobytes())
+        h.update(np.ascontiguousarray(coeff_res).tobytes())
+        h.update(str(ctxt.ratFactor).encode())
         prg = np.random.default_rng(
             np.frombuffer(h.digest(), dtype=np.uint64))
         g = prg.normal(0.0, 1.0, self.N)
@@ -196,13 +205,13 @@ class EncryptedArrayCKKS:
         return self.decode(vals, Fraction(ctxt.ratFactor))
 
     # ---------------------------------------------------------- rotations
-    def rotate(self, ctxt: Ctxt, amt: int, sk: SecKey):
+    def rotate(self, ctxt: Ctxt, amt: int, key: SecKey):
         """Rotate slots by amt (slot j content -> slot j+amt)."""
         amt %= self.nslots
         if amt == 0:
             return ctxt
         k = pow(inv_mod(5, self.m), amt, self.m)
-        return ctxt.smart_automorph(k, sk)
+        return ctxt.smart_automorph(k, key)
 
     def mul_const(self, ctxt: Ctxt, values, scale: int | None = None):
         """Multiply by encoded constant slots (reference MatMul_CKKS const
@@ -232,7 +241,7 @@ class EncryptedArrayCKKS:
             ctxt.mod_down_to(nk, False)
         return ctxt
 
-    def shift(self, ctxt: Ctxt, amt: int, sk: SecKey):
+    def shift(self, ctxt: Ctxt, amt: int, key: SecKey):
         """Non-cyclic shift with zero fill (reference EncryptedArrayCx::
         shift, EaCx.cpp:142-235): mask out the slots that would wrap, then
         rotate."""
@@ -245,17 +254,17 @@ class EncryptedArrayCKKS:
         else:
             mask[-amt:] = 1.0
         out = self.mul_const(ctxt, mask)
-        return self.rotate(out, amt % n, sk)
+        return self.rotate(out, amt % n, key)
 
-    def extract_real_part(self, ctxt: Ctxt, sk: SecKey):
+    def extract_real_part(self, ctxt: Ctxt, key: SecKey):
         """Re(x) = (x + conj(x)) / 2 (reference extractRealPart,
         EncryptedArray.h:1122); the division by 2 is free — it only scales
         ratFactor."""
-        out = ctxt.copy().add(ctxt.copy().conjugate(sk))
+        out = ctxt.copy().add(ctxt.copy().conjugate(key))
         out.ratFactor = Fraction(out.ratFactor) * 2
         return out
 
-    def extract_imaginary_part(self, ctxt: Ctxt, sk: SecKey):
+    def extract_imaginary_part(self, ctxt: Ctxt, key: SecKey):
         """Im(x) = (x - conj(x)) / (2i) (reference extractImPart)."""
-        diff = ctxt.copy().sub(ctxt.copy().conjugate(sk))   # 2i * Im(x)
+        diff = ctxt.copy().sub(ctxt.copy().conjugate(key))   # 2i * Im(x)
         return self.mul_const(diff, np.full(self.nslots, -0.5j))

@@ -38,10 +38,10 @@ def is_recording() -> bool:
     return _recording is not None
 
 
-def add_these_matrices(sk, vals):
+def add_these_matrices(key, vals):
     """Pre-generate KS matrices for exactly the recorded automorphisms
     (reference addTheseMatrices)."""
     from .keys import SKHandle
     for k in sorted(vals):
         if k != 1:
-            sk.gen_ks_matrix(SKHandle(1, int(k), 0))
+            key.gen_ks_matrix(SKHandle(1, int(k), 0))

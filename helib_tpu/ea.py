@@ -289,7 +289,7 @@ class EncryptedArray:
             self._mask_cache[key] = cached
         return cached
 
-    def rotate_1d(self, ctxt, dim: int, amt: int, sk: SecKey):
+    def rotate_1d(self, ctxt, dim: int, amt: int, key: SecKey):
         """Cyclic rotation along hypercube dim (reference rotate1D,
         EncryptedArray.cpp:67-125).  Content at coord e moves to e+amt."""
         pal = self.ctx.pal
@@ -302,16 +302,16 @@ class EncryptedArray:
         ginv = inv_mod(g, m)
         k1 = pow(ginv, amt, m)
         if pal.native[dim]:
-            return ctxt.smart_automorph(k1, sk)
+            return ctxt.smart_automorph(k1, key)
         # bad dimension: blend wrapped and unwrapped automorphs
         k2 = k1 * pow(g, D, m) % m
-        c1 = ctxt.copy().smart_automorph(k1, sk)
-        c2 = ctxt.copy().smart_automorph(k2, sk)
+        c1 = ctxt.copy().smart_automorph(k1, key)
+        c2 = ctxt.copy().smart_automorph(k2, key)
         c1.mul_constant_fat(self.mask_fat(dim, amt, D))  # coord >= amt
         c2.mul_constant_fat(self.mask_fat(dim, 0, amt))
         return c1.add(c2)
 
-    def shift_1d(self, ctxt, dim: int, amt: int, sk: SecKey):
+    def shift_1d(self, ctxt, dim: int, amt: int, key: SecKey):
         """Non-cyclic shift (zero fill), reference shift1D."""
         pal = self.ctx.pal
         D = pal.orders[dim]
@@ -320,11 +320,11 @@ class EncryptedArray:
         out = ctxt.copy()
         if amt > 0:
             out.mul_constant_fat(self.mask_fat(dim, 0, D - amt))
-            return self.rotate_1d(out, dim, amt, sk)
+            return self.rotate_1d(out, dim, amt, key)
         out.mul_constant_fat(self.mask_fat(dim, -amt, D))
-        return self.rotate_1d(out, dim, amt % D, sk)
+        return self.rotate_1d(out, dim, amt % D, key)
 
-    def rotate(self, ctxt, amt: int, sk: SecKey):
+    def rotate(self, ctxt, amt: int, key: SecKey):
         """Global rotation over the linearized slot index (reference
         EncryptedArray::rotate, EncryptedArray.cpp:181): mixed-radix addition
         over the hypercube dims, tracking carries with mask blends.
@@ -342,7 +342,7 @@ class EncryptedArray:
         pal = self.ctx.pal
         orders = pal.orders
         if len(orders) == 1:
-            return self.rotate_1d(ctxt, 0, amt, sk)
+            return self.rotate_1d(ctxt, 0, amt, key)
         strides = []
         s = 1
         for o in reversed(orders):
@@ -353,8 +353,8 @@ class EncryptedArray:
         c_noc, c_car = ctxt, None
         for dim in range(len(orders) - 1, 0, -1):
             a = digits[dim]
-            r_noc = self.rotate_1d(c_noc.copy(), dim, a, sk)
-            r_car = (self.rotate_1d(c_car.copy(), dim, a + 1, sk)
+            r_noc = self.rotate_1d(c_noc.copy(), dim, a, key)
+            r_car = (self.rotate_1d(c_car.copy(), dim, a + 1, key)
                      if c_car is not None else None)
             nc = r_noc.copy()
             nc.mul_constant_fat(self.mask_fat(dim, a, orders[dim]))
@@ -368,9 +368,9 @@ class EncryptedArray:
                 t2.mul_constant_fat(self.mask_fat(dim, 0, a + 1))
                 cc = cc.add(t2)
             c_noc, c_car = nc, cc
-        out = self.rotate_1d(c_noc, 0, digits[0], sk)
+        out = self.rotate_1d(c_noc, 0, digits[0], key)
         if c_car is not None:
-            out = out.add(self.rotate_1d(c_car, 0, digits[0] + 1, sk))
+            out = out.add(self.rotate_1d(c_car, 0, digits[0] + 1, key))
         return out
 
 

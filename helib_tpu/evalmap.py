@@ -331,7 +331,7 @@ class ThinEvalMapTree:
                 W[J][k] = [int(v) for v in x[k * d:(k + 1) * d]]
         return W
 
-    def apply(self, ctxt, sk):
+    def apply(self, ctxt, key):
         from .recryption import _boot_trace
         ea = self.ea
         cur = ctxt
@@ -343,9 +343,9 @@ class ThinEvalMapTree:
                 cur.mul_constant_fat(ex)
             elif st[0] == "lin":
                 from .algos.linpoly import apply_linearized
-                cur = apply_linearized(ea, cur, ex, sk)
+                cur = apply_linearized(ea, cur, ex, key)
             else:
-                cur = ex.apply(cur, sk)
+                cur = ex.apply(cur, key)
         if self.invert and not self._fat_stages:
-            cur = cur.copy().trace_map(sk)
+            cur = cur.copy().trace_map(key)
         return cur

@@ -302,8 +302,8 @@ def ntt_pow2_fwd(x, t):
     """x: [..., P, n] coefficients -> evaluations in `eval_exponents` order."""
     n = x.shape[-1]
     if (_pallas_enabled() and "tw_cat3" in t):
-        from .pallas_ntt import apply_ntt, MIN_PALLAS_N
-        if n >= MIN_PALLAS_N:
+        from .pallas_ntt import apply_ntt, MIN_PALLAS_N, MAX_PALLAS_N
+        if MIN_PALLAS_N <= n <= MAX_PALLAS_N:
             return apply_ntt(x, t, t["q"], inverse=False)
     q = t["q"][..., None]  # [.., P, 1, 1]
     for s, (w, ws) in enumerate(zip(t["tw"], t["tw_sh"])):
@@ -321,8 +321,8 @@ def ntt_pow2_inv(x, t):
     """Inverse of ntt_pow2_fwd (output: natural coefficient order)."""
     n = x.shape[-1]
     if (_pallas_enabled() and "itw_cat3" in t):
-        from .pallas_ntt import apply_ntt, MIN_PALLAS_N
-        if n >= MIN_PALLAS_N:
+        from .pallas_ntt import apply_ntt, MIN_PALLAS_N, MAX_PALLAS_N
+        if MIN_PALLAS_N <= n <= MAX_PALLAS_N:
             return apply_ntt(x, t, t["q"], inverse=True)
     q = t["q"][..., None]
     for s in reversed(range(len(t["itw"]))):
@@ -450,8 +450,9 @@ def bluestein_apply(x, t, m: int, B: int):
     a3 = reduce_u32(a[..., None, :, :], t["aux_q"])            # [..., 3, P, m]
     pad = [(0, 0)] * (a3.ndim - 1) + [(0, B - m)]
     ap = jnp.pad(a3, pad)
-    from .pallas_ntt import MIN_PALLAS_N
-    if _pallas_enabled() and B >= MIN_PALLAS_N and "tw_cat" in t["aux"]:
+    from .pallas_ntt import MIN_PALLAS_N, MAX_PALLAS_N
+    if (_pallas_enabled() and MIN_PALLAS_N <= B <= MAX_PALLAS_N
+            and "tw_cat" in t["aux"]):
         # fully fused NTT -> pointwise khat -> iNTT in one VMEM kernel
         from .pallas_ntt import apply_conv
         p = apply_conv(ap, t["aux"], t["khat_f"], t["khat_f_sh"],

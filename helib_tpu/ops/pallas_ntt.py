@@ -54,6 +54,13 @@ MIN_PALLAS_N = 2048    # below this the jnp path is used.  For
                        # G = 16384/n rows so its lane axis is always
                        # G*A = 128 wide (see group_fine_tables); below
                        # 2048 the group would exceed ROW_BLOCK.
+MAX_PALLAS_N = 65536   # above this the fused kernel's VMEM residency
+                       # (x + out + 8 twiddle tables + 2 spectral tables,
+                       # each [8, n] u32, double-buffered across the grid)
+                       # exceeds the v5e scoped-memory budget — measured:
+                       # B=131072 (the m=35113 Bluestein) fails allocation
+                       # where B=65536 (m=31775) runs.  Larger transforms
+                       # fall back to the staged jnp path.
 
 
 def row_group(n: int) -> int:
