@@ -282,6 +282,19 @@ def _broadcast_tree(t, k: int):
 USE_PALLAS: bool | None = None   # None = auto (fused kernel on TPU backends)
 
 
+def _ntt_v2():
+    """(enabled, max_k) for the v2 block-list kernels (pallas_ntt2).
+    HELIB_NTT_V2=1 enables, HELIB_NTT_V2_K caps the composite size
+    (empty/0 = whole-phase).  Off by default until the TPU A/B
+    (benchmarks/kernel_v2_bench.py) picks the winner."""
+    import os
+    v = os.environ.get("HELIB_NTT_V2", "")
+    if v not in ("1", "true"):
+        return False, None
+    k = os.environ.get("HELIB_NTT_V2_K", "")
+    return True, (int(k) if k and k != "0" else None)
+
+
 def _pallas_enabled() -> bool:
     if USE_PALLAS is not None:
         return USE_PALLAS
@@ -304,6 +317,10 @@ def ntt_pow2_fwd(x, t):
     if (_pallas_enabled() and "tw_cat3" in t):
         from .pallas_ntt import apply_ntt, MIN_PALLAS_N, MAX_PALLAS_N
         if MIN_PALLAS_N <= n <= MAX_PALLAS_N:
+            v2, max_k = _ntt_v2()
+            if v2:
+                from .pallas_ntt2 import apply_ntt2
+                return apply_ntt2(x, t, t["q"], inverse=False, max_k=max_k)
             return apply_ntt(x, t, t["q"], inverse=False)
     q = t["q"][..., None]  # [.., P, 1, 1]
     for s, (w, ws) in enumerate(zip(t["tw"], t["tw_sh"])):
@@ -323,6 +340,10 @@ def ntt_pow2_inv(x, t):
     if (_pallas_enabled() and "itw_cat3" in t):
         from .pallas_ntt import apply_ntt, MIN_PALLAS_N, MAX_PALLAS_N
         if MIN_PALLAS_N <= n <= MAX_PALLAS_N:
+            v2, max_k = _ntt_v2()
+            if v2:
+                from .pallas_ntt2 import apply_ntt2
+                return apply_ntt2(x, t, t["q"], inverse=True, max_k=max_k)
             return apply_ntt(x, t, t["q"], inverse=True)
     q = t["q"][..., None]
     for s in reversed(range(len(t["itw"]))):
@@ -454,9 +475,15 @@ def bluestein_apply(x, t, m: int, B: int):
     if (_pallas_enabled() and MIN_PALLAS_N <= B <= MAX_PALLAS_N
             and "tw_cat" in t["aux"]):
         # fully fused NTT -> pointwise khat -> iNTT in one VMEM kernel
-        from .pallas_ntt import apply_conv
-        p = apply_conv(ap, t["aux"], t["khat_f"], t["khat_f_sh"],
-                       t["aux_q"], kh_layout="fine")
+        v2, max_k = _ntt_v2()
+        if v2:
+            from .pallas_ntt2 import apply_conv2
+            p = apply_conv2(ap, t["aux"], t["khat_f"], t["khat_f_sh"],
+                            t["aux_q"], kh_layout="fine", max_k=max_k)
+        else:
+            from .pallas_ntt import apply_conv
+            p = apply_conv(ap, t["aux"], t["khat_f"], t["khat_f_sh"],
+                           t["aux_q"], kh_layout="fine")
     else:
         A = ntt_pow2_fwd(ap, t["aux"])
         Pr = mul_mod_shoup(A, t["khat"], t["khat_sh"], t["aux_q"])
