@@ -57,7 +57,7 @@ def main():
         print(f"n={n} v1        : {per / rows * 1e6:8.2f} us/row", flush=True)
         ref = np.asarray(f1(x))
 
-        for max_k in (2, 3, 4, 5, None):
+        for max_k in (4, None, 3, 2):
             try:
                 f2 = jax.jit(lambda v, mk=max_k: apply_conv2(
                     v, tree, khj, khshj, q, max_k=mk))

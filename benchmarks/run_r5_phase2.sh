@@ -18,5 +18,9 @@ HELIB_BENCH_BIG_ONLY=1 run bgv_big 9000 python benchmarks/bench_suite.py suite=b
 run fatboot_tiny   5400  python benchmarks/fatboot_bench.py tiny 2
 run thinboot_big   10800 python benchmarks/thinboot_bench.py big 1
 run modswitch_ovh  1800  python benchmarks/modswitch_overhead.py 8009 380 20
+# re-measure the tiny/small per-op rows in a quiet window: decrypt moved
+# on-device since r4 (VERDICT item 4), and the r4 add/rotate numbers had
+# an unexplained spread (weak 7) from host contention
+run bgv_per_op     3600  python benchmarks/bench_suite.py suite=bgv
 run fatboot_small  10800 python benchmarks/fatboot_bench.py small 1
 echo "R5 PHASE2 DONE $(date -u)" | tee -a "$LOG"
