@@ -26,6 +26,21 @@ if os.environ.get("HELIB_FORCE_CPU"):
 # expensive over the TPU tunnel; subsequent process launches reuse it.
 _cache_dir = os.environ.get("HELIB_TPU_XLA_CACHE",
                             os.path.expanduser("~/.cache/helib_tpu_xla"))
+# CPU-backend processes (tests, dryruns) get a host-feature-keyed cache
+# directory: XLA:CPU AOT executables compiled on an earlier round's host
+# with different vector extensions SIGILL/segfault when replayed here (the
+# cpu_aot_loader "machine features don't match" warning is not benign — a
+# round-5 full-suite worker died exactly this way).  TPU executables are
+# device-side and host-independent, so the shared dir stays for them.
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as _f:
+            _flags = [ln for ln in _f if ln.startswith("flags")][:1]
+        _hostkey = hashlib.sha1("".join(_flags).encode()).hexdigest()[:12]
+        _cache_dir = f"{_cache_dir}_cpu_{_hostkey}"
+    except Exception:
+        _cache_dir = _cache_dir + "_cpu"
 try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
