@@ -31,8 +31,12 @@ def bench(fn, x, iters):
 
 
 def main():
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 96
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    # rows must be large enough that one kernel dispatch (~rows x 10 us)
+    # exceeds the ~5-10 ms tunnel dispatch latency, else the chain measures
+    # dispatch rate, not the kernel (the 96-row first run read 16 us/row
+    # for v1 where the round-3 in-pipeline trace shows 9.8)
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     from helib_tpu.nt.primegen import gen_primes
     from helib_tpu.ops.ntt import Pow2NTT
     from helib_tpu.ops import modops
@@ -40,14 +44,21 @@ def main():
     from helib_tpu.ops.pallas_ntt2 import apply_conv2
 
     for n in (16384, 8192):
-        qs = np.array(gen_primes(2 * n, rows), dtype=np.uint32)
+        # realistic prime count (m=8009 chain: L+S = 18-26 limbs) with a
+        # batch lead dim to reach `rows` total — 1024-prime tables embed
+        # tens of MB of constants per jit and overflow the remote-compile
+        # payload (HTTP 413), which no real pipeline does
+        P = 26
+        B = max(1, rows // P)
+        qs = np.array(gen_primes(2 * n, P), dtype=np.uint32)
         t = Pow2NTT(qs, n, negacyclic=True)
         tree = t.tree()
+        rows = P * B
         rng = np.random.default_rng(5)
         x = jnp.asarray(rng.integers(0, qs[:, None].astype(np.int64),
-                                     (rows, n)).astype(np.uint32))
+                                     (B, P, n)).astype(np.uint32))
         kh = rng.integers(0, qs[:, None].astype(np.int64),
-                          (rows, n)).astype(np.uint32)
+                          (P, n)).astype(np.uint32)
         khsh = np.asarray(modops.shoup(kh, qs[:, None].astype(np.uint64)))
         khj, khshj = jnp.asarray(kh), jnp.asarray(khsh)
         q = tree["q"]

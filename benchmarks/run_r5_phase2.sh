@@ -12,7 +12,7 @@ run() {
   echo "--- exit=$rc ($(date -u +%H:%M:%S)) ---" | tee -a "$LOG"
 }
 
-run kernel_v2      2400  python benchmarks/kernel_v2_bench.py 96 30
+run kernel_v2      2400  python benchmarks/kernel_v2_bench.py 1024 10
 run headline_v2    1500  env HELIB_NTT_V2=1 python bench.py
 HELIB_BENCH_BIG_ONLY=1 run bgv_big 9000 python benchmarks/bench_suite.py suite=bgv
 run fatboot_tiny   5400  python benchmarks/fatboot_bench.py tiny 2

@@ -189,8 +189,7 @@ def _run_fine(xt, qq4, R2, n, W, G, fine_ref, fsh_ref, sched, inverse,
                 sub = LANE // (g2 * nb)
                 khr = khf.reshape(R2, g2, nb, sub, W)
                 khsr = khfsh.reshape(R2, g2, nb, sub, W)
-                blocks = [_shoup_lazy(b, khr[:, :, p], khsr[:, :, p],
-                                      qq4[:, 0])
+                blocks = [_shoup_lazy(b, khr[:, :, p], khsr[:, :, p], qq4)
                           for p, b in enumerate(blocks)]
 
                 def itw(j, cls, m0=m0, g2=g2):
@@ -470,14 +469,28 @@ def v2_tables_for(t, n: int, max_k=None) -> V2Tables:
     key = (id(t.get("tw")), n, max_k)
     v = _v2_cache.get(key)
     if v is None:
-        np_tw = [np.asarray(a) for a in t["tw"]]
-        np_tw_sh = [np.asarray(a) for a in t["tw_sh"]]
-        np_itw = [np.asarray(a) for a in t["itw"]]
-        np_itw_sh = [np.asarray(a) for a in t["itw_sh"]]
-        ninv = np.asarray(t["ninv"])
-        ninv_sh = np.asarray(t["ninv_sh"])
+        def seg(x):
+            # trees may carry _broadcast_tree's size-1 batch axes between
+            # the prime axis and the entries (e.g. the Bluestein aux tree)
+            a = np.asarray(x)
+            return a.reshape(a.shape[0], a.shape[-1])
+        np_tw = [seg(a) for a in t["tw"]]
+        np_tw_sh = [seg(a) for a in t["tw_sh"]]
+        np_itw = [seg(a) for a in t["itw"]]
+        np_itw_sh = [seg(a) for a in t["itw_sh"]]
+        ninv = seg(t["ninv"])
+        ninv_sh = seg(t["ninv_sh"])
         v = V2Tables(np_tw, np_tw_sh, np_itw, np_itw_sh, ninv, ninv_sh, n,
                      max_k)
+        # restore the tree's original lead shape (prime axis + any
+        # _broadcast_tree size-1 batch axes, e.g. the aux tree's [3, 1])
+        # so the wrappers' broadcast_to aligns against the input's lead
+        lead = np.asarray(t["ninv"]).shape[:-1]
+        if len(lead) > 1:
+            for attr in ("tw_cat3", "tw_cat3_sh", "itw_cat3", "itw_cat3_sh",
+                         "tw_fine", "tw_fine_sh", "itw_fine", "itw_fine_sh"):
+                a = getattr(v, attr)
+                setattr(v, attr, a.reshape(lead + a.shape[1:]))
         _v2_cache[key] = v
     return v
 
