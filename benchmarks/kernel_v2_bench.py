@@ -63,15 +63,19 @@ def main():
         khj, khshj = jnp.asarray(kh), jnp.asarray(khsh)
         q = tree["q"]
 
-        f1 = jax.jit(lambda v: apply_conv(v, tree, khj, khshj, q))
+        # lifted_jit: the tree/khat tables total tens of MB and, closed
+        # over, become dense HLO constants that overflow the remote-compile
+        # payload (HTTP 413, results_r5.log 04:07)
+        from helib_tpu.jitutil import lifted_jit
+        f1 = lifted_jit(lambda v: apply_conv(v, tree, khj, khshj, q), x)
         per = bench(f1, x, iters)
         print(f"n={n} v1        : {per / rows * 1e6:8.2f} us/row", flush=True)
         ref = np.asarray(f1(x))
 
         for max_k in (4, None, 3, 2):
             try:
-                f2 = jax.jit(lambda v, mk=max_k: apply_conv2(
-                    v, tree, khj, khshj, q, max_k=mk))
+                f2 = lifted_jit(lambda v, mk=max_k: apply_conv2(
+                    v, tree, khj, khshj, q, max_k=mk), x)
                 got = np.asarray(f2(x))
                 ok = (got == ref).all()
                 per = bench(f2, x, iters)
