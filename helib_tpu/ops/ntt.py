@@ -295,6 +295,16 @@ def _ntt_v2():
     return True, (int(k) if k and k != "0" else None)
 
 
+def _aux_shared() -> bool:
+    """Shared-twiddle conv dispatch (pallas_conv_shared): one table block
+    per AUX prime instead of per data row — ~8x less twiddle DMA per row
+    block and ~3.5x less VMEM.  HELIB_NTT_AUXSHARED=1 opts in (off until
+    the TPU A/B — benchmarks/kernel_aux_bench.py — proves it; the live
+    bench queue imports this tree)."""
+    import os
+    return os.environ.get("HELIB_NTT_AUXSHARED", "") in ("1", "true")
+
+
 def _pallas_enabled() -> bool:
     if USE_PALLAS is not None:
         return USE_PALLAS
@@ -466,12 +476,39 @@ class BluesteinTables:
 
 def bluestein_apply(x, t, m: int, B: int):
     """Full-m DFT (per table direction) of x: [..., P, m] -> [..., P, m]."""
+    from .pallas_ntt import MIN_PALLAS_N, MAX_PALLAS_N
     q = t["q"]
     a = mul_mod_shoup(x, t["u_in"], t["u_in_sh"], q)           # [..., P, m]
+    if (_pallas_enabled() and _aux_shared()
+            and MIN_PALLAS_N <= B <= MAX_PALLAS_N and "tw_cat" in t["aux"]):
+        # AUX-MAJOR shared-table path: build [3, ..., P, B] directly (no
+        # transpose) and let each kernel grid step share ONE twiddle block
+        # per aux prime (pallas_conv_shared)
+        from .pallas_ntt import apply_conv_aux
+        aux_q3 = t["aux_q"].reshape((3,) + (1,) * a.ndim)
+        a3 = reduce_u32(a[None], aux_q3)                       # [3, ..., P, m]
+        ap = jnp.pad(a3, [(0, 0)] * (a3.ndim - 1) + [(0, B - m)])
+        p = apply_conv_aux(ap, t["aux"], t["khat_f"], t["khat_f_sh"],
+                           t["aux_q"])
+        ins = (1,) * (p.ndim - 3)
+        y = mul_mod_shoup(p, t["yt_inv"].reshape((3,) + ins + (1, 1)),
+                          t["yt_inv_sh"].reshape((3,) + ins + (1, 1)),
+                          t["aux_q"].reshape((3,) + ins + (1, 1)))
+        alpha = jnp.floor(
+            jnp.sum(y.astype(jnp.float32)
+                    * t["inv_r_f32"].reshape((3,) + ins + (1, 1)), axis=0)
+            + jnp.float32(0.25)).astype(U32)                   # [..., P, B]
+        Rt = t["Rt_mod_q"].reshape((3,) + ins + t["Rt_mod_q"].shape[1:])
+        Rts = t["Rt_mod_q_sh"].reshape((3,) + ins
+                                       + t["Rt_mod_q_sh"].shape[1:])
+        terms = mul_mod_shoup(y, Rt, Rts, q[None])
+        acc = add_mod(add_mod(terms[0], terms[1], q), terms[2], q)
+        corr = mul_mod_shoup(alpha, t["negR"], t["negR_sh"], q)
+        V = add_mod(acc, corr, q)[..., :m]
+        return mul_mod_shoup(V, t["u_out"], t["u_out_sh"], q)
     a3 = reduce_u32(a[..., None, :, :], t["aux_q"])            # [..., 3, P, m]
     pad = [(0, 0)] * (a3.ndim - 1) + [(0, B - m)]
     ap = jnp.pad(a3, pad)
-    from .pallas_ntt import MIN_PALLAS_N, MAX_PALLAS_N
     if (_pallas_enabled() and MIN_PALLAS_N <= B <= MAX_PALLAS_N
             and "tw_cat" in t["aux"]):
         # fully fused NTT -> pointwise khat -> iNTT in one VMEM kernel

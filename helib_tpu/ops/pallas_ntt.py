@@ -249,14 +249,19 @@ def _inv_coarse3(x3, q, R, A, itw3_ref, itsh3_ref, coarse):
 
 # ---------------------------------------------------------------------------
 # fine phase: butterflies along the former-lane axis of [R, LANE, A]
+#
+# Table slices reshape with a -1 lead so the same helpers serve BOTH table
+# layouts: per-row [R2, ...] (pow2 per-prime path) and shared [1, ...]
+# (aux-prime Bluestein path, one table block per aux prime broadcast across
+# the row block — see pallas_conv_shared).
 # ---------------------------------------------------------------------------
 
 def _fwd_r2_fine(xt, qq4, R2, n, W, G, fine_ref, fsh_ref, s):
     m = 1 << s
     half = n // (2 * m)
     g2 = LANE // (2 * half)
-    w = fine_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
-    wsh = fsh_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
+    w = fine_ref[:, m * G:2 * m * G].reshape(-1, g2, 1, W)
+    wsh = fsh_ref[:, m * G:2 * m * G].reshape(-1, g2, 1, W)
     xr = xt.reshape(R2, g2, 2, half, W)
     u = _csub(xr[:, :, 0], 2 * qq4)
     t = _shoup_lazy(xr[:, :, 1], w, wsh, qq4)
@@ -272,17 +277,17 @@ def _fwd_r4_fine(xt, qq4, R2, n, W, G, fine_ref, fsh_ref, s):
     half = n // (2 * m)
     half2 = half // 2
     g2 = LANE // (2 * half)
-    w1 = fine_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
-    w1s = fsh_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
+    w1 = fine_ref[:, m * G:2 * m * G].reshape(-1, g2, 1, W)
+    w1s = fsh_ref[:, m * G:2 * m * G].reshape(-1, g2, 1, W)
     xr = xt.reshape(R2, g2, 2, half, W)                # [r, gi, j, h, a]
     u = _csub(xr[:, :, 0], 2 * qq4)                    # [R2, g2, half, W]
     t = _shoup_lazy(xr[:, :, 1], w1, w1s, qq4)
     a0 = (u + t).reshape(R2, g2, 2, half2, W)
     a1 = (u + 2 * qq4 - t).reshape(R2, g2, 2, half2, W)
-    w2e = fine_ref[:, 2 * m * G:3 * m * G].reshape(R2, g2, 1, W)
-    w2es = fsh_ref[:, 2 * m * G:3 * m * G].reshape(R2, g2, 1, W)
-    w2o = fine_ref[:, 3 * m * G:4 * m * G].reshape(R2, g2, 1, W)
-    w2os = fsh_ref[:, 3 * m * G:4 * m * G].reshape(R2, g2, 1, W)
+    w2e = fine_ref[:, 2 * m * G:3 * m * G].reshape(-1, g2, 1, W)
+    w2es = fsh_ref[:, 2 * m * G:3 * m * G].reshape(-1, g2, 1, W)
+    w2o = fine_ref[:, 3 * m * G:4 * m * G].reshape(-1, g2, 1, W)
+    w2os = fsh_ref[:, 3 * m * G:4 * m * G].reshape(-1, g2, 1, W)
     u0 = _csub(a0[:, :, 0], 2 * qq4)
     t0 = _shoup_lazy(a0[:, :, 1], w2e, w2es, qq4)
     u1 = _csub(a1[:, :, 0], 2 * qq4)
@@ -305,8 +310,8 @@ def _inv_r2_fine(xt, qq4, R2, n, W, G, ifine_ref, ifsh_ref, s):
     m = 1 << s
     half = n // (2 * m)
     g2 = LANE // (2 * half)
-    w = ifine_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
-    wsh = ifsh_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
+    w = ifine_ref[:, m * G:2 * m * G].reshape(-1, g2, 1, W)
+    wsh = ifsh_ref[:, m * G:2 * m * G].reshape(-1, g2, 1, W)
     xr = xt.reshape(R2, g2, 2, half, W)
     a, b = xr[:, :, 0], xr[:, :, 1]
     u = _csub(a + b, 2 * qq4)
@@ -320,12 +325,12 @@ def _inv_r4_fine(xt, qq4, R2, n, W, G, ifine_ref, ifsh_ref, s):
     half = n // (2 * m)
     half2 = half // 2
     g2 = LANE // (2 * half)
-    w1 = ifine_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
-    w1s = ifsh_ref[:, m * G:2 * m * G].reshape(R2, g2, 1, W)
-    w2e = ifine_ref[:, 2 * m * G:3 * m * G].reshape(R2, g2, 1, W)
-    w2es = ifsh_ref[:, 2 * m * G:3 * m * G].reshape(R2, g2, 1, W)
-    w2o = ifine_ref[:, 3 * m * G:4 * m * G].reshape(R2, g2, 1, W)
-    w2os = ifsh_ref[:, 3 * m * G:4 * m * G].reshape(R2, g2, 1, W)
+    w1 = ifine_ref[:, m * G:2 * m * G].reshape(-1, g2, 1, W)
+    w1s = ifsh_ref[:, m * G:2 * m * G].reshape(-1, g2, 1, W)
+    w2e = ifine_ref[:, 2 * m * G:3 * m * G].reshape(-1, g2, 1, W)
+    w2es = ifsh_ref[:, 2 * m * G:3 * m * G].reshape(-1, g2, 1, W)
+    w2o = ifine_ref[:, 3 * m * G:4 * m * G].reshape(-1, g2, 1, W)
+    w2os = ifsh_ref[:, 3 * m * G:4 * m * G].reshape(-1, g2, 1, W)
     xr = xt.reshape(R2, g2, 4, half2, W)               # blocks 4gi + 2j + k
     a0, b0 = xr[:, :, 0], xr[:, :, 1]
     a1, b1 = xr[:, :, 2], xr[:, :, 3]
@@ -517,6 +522,155 @@ def pallas_conv(x, tw3, tsh3, gfine, gfsh, itw3, itsh3, gifine, gifsh,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(x, tw3, tsh3, gfine, gfsh, itw3, itsh3, gifine, gifsh,
       khf, khfsh, q, qg4)
+
+
+def _conv_kernel_shared(x_ref, tw3_ref, tsh3_ref, fine_ref, fsh_ref,
+                        itw3_ref, itsh3_ref, ifine_ref, ifsh_ref,
+                        khf_ref, khfsh_ref, q_ref, qg4_ref, o_ref, *,
+                        n: int):
+    """_conv_kernel with SHARED twiddle tables: the grid is 2D
+    (table-group, row-block) and every table block has a leading length-1
+    axis that broadcasts across the RB data rows — all rows of a block
+    share one modulus (the Bluestein aux-prime layout).  Cuts per-block
+    twiddle DMA ~8x and VMEM residency ~3.5x vs per-row tables; only the
+    spectral kernel (per ctxt prime by nature) stays per-row."""
+    x = x_ref[0]                  # [RB, n]
+    q = q_ref[:]                  # [1, 1] — broadcasts against every row
+    qg4 = qg4_ref[0]              # [1, 1, W]
+    qg4 = qg4[None]               # [1, 1, 1, W]
+    R = x.shape[0]
+    stages = n.bit_length() - 1
+    A = n // LANE
+    G = row_group(n)
+    W = G * A
+    R2 = R // G
+    coarse = stages - 7
+    # table refs have a leading length-1 axis; the helpers' [:, slice]
+    # accesses broadcast it against the RB data rows
+    x3 = _fwd_coarse3(x.reshape(R, A, LANE), q, R, A, tw3_ref, tsh3_ref,
+                      coarse)
+    xt = jnp.swapaxes(x3.reshape(R2, W, LANE), 1, 2)
+    xt = _fwd_fine(xt, qg4, R2, n, W, G, fine_ref, fsh_ref, coarse, stages)
+    xt = _shoup_lazy(xt, khf_ref[0], khfsh_ref[0], qg4[:, 0])
+    xt = _inv_fine(xt, qg4, R2, n, W, G, ifine_ref, ifsh_ref, coarse,
+                   stages)
+    x3 = jnp.swapaxes(xt, 1, 2).reshape(R, A, LANE)
+    x3 = _inv_coarse3(x3, q, R, A, itw3_ref, itsh3_ref, coarse)
+    x3 = _shoup_lazy(x3, itw3_ref[:, 0], itsh3_ref[:, 0], q[:, :, None])
+    o_ref[:] = _csub(x3.reshape(R, n), q)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def pallas_conv_shared(x, tw3, tsh3, gfine, gfsh, itw3, itsh3, gifine,
+                       gifsh, khf, khfsh, q, qg4, *, n: int,
+                       interpret: bool = False):
+    """x: [T, R, n]; twiddle tables [T, ...] (ONE block per table group t,
+    shared by all R rows of group t); khf/khfsh: [T, R/G, LANE, G*A]
+    per-row spectral kernels; q: [T, 1]; qg4: [T, 1, 1, G*A]."""
+    T, R = x.shape[0], x.shape[1]
+    G = row_group(n)
+    RB = ROW_BLOCK * G
+    assert_true(R % RB == 0, (R, G))
+    grid = (T, R // RB)
+    A = max(n // LANE, 1)
+    W = G * A
+    kern = functools.partial(_conv_kernel_shared, n=n)
+    zero = np.int32(0)
+    bx = pl.BlockSpec((1, RB, n), lambda t, i: (t, i, zero),
+                      memory_space=pltpu.VMEM)
+    b4 = pl.BlockSpec((1, A, 1, LANE), lambda t, i: (t, zero, zero, zero),
+                      memory_space=pltpu.VMEM)
+    bg = pl.BlockSpec((1, G * n), lambda t, i: (t, zero),
+                      memory_space=pltpu.VMEM)
+    b3 = pl.BlockSpec((1, ROW_BLOCK, LANE, W),
+                      lambda t, i: (t, i, zero, zero),
+                      memory_space=pltpu.VMEM)
+    bq = pl.BlockSpec((1, 1), lambda t, i: (t, zero),
+                      memory_space=pltpu.VMEM)
+    bq4 = pl.BlockSpec((1, 1, 1, W), lambda t, i: (t, zero, zero, zero),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bx, b4, b4, bg, bg, b4, b4, bg, bg, b3, b3, bq, bq4],
+        out_specs=bx,
+        out_shape=jax.ShapeDtypeStruct((T, R, n), jnp.uint32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, tw3, tsh3, gfine, gfsh, itw3, itsh3, gifine, gifsh,
+      khf, khfsh, q, qg4)
+
+
+def _shared_fine(tab, n: int, G: int):
+    """Shared fine table [T, n] -> grouped [T, G*n]: each of the G grouped
+    rows carries the SAME table group, so the grouped layout is the
+    G-fold self-interleave."""
+    if G == 1:
+        return tab
+    T = tab.shape[0]
+    rep = jnp.repeat(tab, G, axis=0)
+    return group_fine_tables(rep, n, G)
+
+
+def apply_conv_aux(x, tree, kh, khsh, q, interpret: bool = False):
+    """Shared-table fused conv for the Bluestein aux path: x is AUX-MAJOR
+    [T, ..., n] (T = #aux primes), `tree` tables have lead [T] or [T, 1]
+    (the _broadcast_tree aux layout), kh/khsh [T, ..., LANE, A] in
+    spectral_fine_layout, q [T]-leading.  Unlike apply_conv, the twiddle
+    tables are NOT broadcast per data row — each grid step fetches one
+    shared block per aux prime (see _conv_kernel_shared)."""
+    n = x.shape[-1]
+    T = x.shape[0]
+    lead = x.shape[1:-1]
+    A = n // LANE
+    G = row_group(n)
+    RB = ROW_BLOCK * G
+
+    def tb(a, trail):
+        a = jnp.asarray(a)
+        return a.reshape((T,) + trail)
+
+    xf = x.reshape(T, -1, n)
+    R = xf.shape[1]
+    pad = (-R) % RB
+    if pad:
+        xf = jnp.pad(xf, ((0, 0), (0, pad), (0, 0)), mode="edge")
+
+    # align kh's mid dims (e.g. the ctxt-prime axis) to the TRAILING dims
+    # of lead by inserting broadcast axes after the aux axis
+    target = 1 + len(lead) + 2
+    if kh.ndim < target:
+        ins = (1,) * (target - kh.ndim)
+        kh = kh.reshape(kh.shape[:1] + ins + kh.shape[1:])
+        khsh = khsh.reshape(khsh.shape[:1] + ins + khsh.shape[1:])
+    khf = jnp.broadcast_to(kh, (T,) + lead + (LANE, A)) \
+             .reshape(T, -1, LANE, A)
+    khsf = jnp.broadcast_to(khsh, (T,) + lead + (LANE, A)) \
+              .reshape(T, -1, LANE, A)
+    if pad:
+        khf = jnp.pad(khf, ((0, 0), (0, pad), (0, 0), (0, 0)), mode="edge")
+        khsf = jnp.pad(khsf, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                       mode="edge")
+    if G > 1:
+        gsp = lambda a: (group_spectral(a.reshape(-1, LANE, A), G)
+                         .reshape(T, -1, LANE, G * A))
+        khf, khsf = gsp(khf), gsp(khsf)
+    qT = tb(q, (1,))
+    qg4 = jnp.broadcast_to(qT.reshape(T, 1, 1, 1), (T, 1, 1, G * A))
+    args = [tb(tree["tw_cat3"], (A, 1, LANE)),
+            tb(tree["tw_cat3_sh"], (A, 1, LANE)),
+            _shared_fine(tb(tree["tw_fine"], (n,)), n, G),
+            _shared_fine(tb(tree["tw_fine_sh"], (n,)), n, G),
+            tb(tree["itw_cat3"], (A, 1, LANE)),
+            tb(tree["itw_cat3_sh"], (A, 1, LANE)),
+            _shared_fine(tb(tree["itw_fine"], (n,)), n, G),
+            _shared_fine(tb(tree["itw_fine_sh"], (n,)), n, G),
+            khf, khsf, qT, qg4]
+    out = pallas_conv_shared(xf, *args, n=n, interpret=interpret)
+    if pad:
+        out = out[:, :R]
+    return out.reshape((T,) + lead + (n,))
 
 
 def group_fine_tables(fine_rows, n: int, G: int):
