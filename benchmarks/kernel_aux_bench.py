@@ -43,15 +43,19 @@ def main():
         qs = np.array(gen_primes(m, P), dtype=np.uint32)
         t = nttmod.BluesteinTables(qs, m, inverse=False)
         B = t.B
+        # cap the batch so x + out + spectral broadcasts stay well under
+        # the 16 GB HBM (B=65536 at batch 16 would need ~8.6 GB of input
+        # alone)
+        b = max(1, min(batch, (1 << 31) // (3 * P * B * 4)))
         tree = t.dev
         aux = tree["aux"]
         rng = np.random.default_rng(7)
         # aux-major [3, batch, P, B] (what bluestein_apply feeds the
         # shared path); the per-row kernel gets the same data aux-mid
         xs = jnp.asarray(rng.integers(0, raux[:, None, None, None],
-                                      (3, batch, P, B)).astype(np.uint32))
+                                      (3, b, P, B)).astype(np.uint32))
         xr = jnp.moveaxis(xs, 0, 1)
-        rows = 3 * batch * P
+        rows = 3 * b * P
 
         f1 = lifted_jit(lambda v: pn.apply_conv(
             v, aux, tree["khat_f"], tree["khat_f_sh"], tree["aux_q"],
