@@ -14,10 +14,12 @@ run() {
   echo "--- exit=$rc ($(date -u +%H:%M:%S)) ---" | tee -a "$LOG"
 }
 
+# kernel A/B + headline decision BEFORE the open-ended thinboot_big so the
+# default-kernel pick for the driver's bench.py is always made
 run bgv_big      5400 env HELIB_BENCH_BIG_ONLY=1 python benchmarks/bench_suite.py suite=bgv
-run thinboot_big 7200 python benchmarks/thinboot_bench.py big 2
 run kernel_aux   1800 python benchmarks/kernel_aux_bench.py 16 10
 run headline_aux 1200 env HELIB_NTT_AUXSHARED=1 python bench.py
 run headline     1200 python bench.py
+run thinboot_big 7200 python benchmarks/thinboot_bench.py big 2
 run bgv_per_op   2700 python benchmarks/bench_suite.py suite=bgv
 echo "R5 PHASE4 DONE $(date -u)" | tee -a "$LOG"
