@@ -535,9 +535,16 @@ def _conv_kernel_shared(x_ref, tw3_ref, tsh3_ref, fine_ref, fsh_ref,
     twiddle DMA ~8x and VMEM residency ~3.5x vs per-row tables; only the
     spectral kernel (per ctxt prime by nature) stays per-row."""
     x = x_ref[0]                  # [RB, n]
-    q = q_ref[:]                  # [1, 1] — broadcasts against every row
+    q = q_ref[0]                  # [1, 1] — broadcasts against every row
     qg4 = qg4_ref[0]              # [1, 1, W]
     qg4 = qg4[None]               # [1, 1, 1, W]
+    # fine tables carry a unit middle axis ([T, 1, G*n]) so their block
+    # shape's last two dims equal the array dims (Mosaic constraint);
+    # squeeze to the [1, G*n] layout the butterfly helpers slice
+    fine_ref = fine_ref[:, 0]
+    fsh_ref = fsh_ref[:, 0]
+    ifine_ref = ifine_ref[:, 0]
+    ifsh_ref = ifsh_ref[:, 0]
     R = x.shape[0]
     stages = n.bit_length() - 1
     A = n // LANE
@@ -565,8 +572,10 @@ def pallas_conv_shared(x, tw3, tsh3, gfine, gfsh, itw3, itsh3, gifine,
                        gifsh, khf, khfsh, q, qg4, *, n: int,
                        interpret: bool = False):
     """x: [T, R, n]; twiddle tables [T, ...] (ONE block per table group t,
-    shared by all R rows of group t); khf/khfsh: [T, R/G, LANE, G*A]
-    per-row spectral kernels; q: [T, 1]; qg4: [T, 1, 1, G*A]."""
+    shared by all R rows of group t); fine tables [T, 1, G*n] (unit middle
+    axis — Mosaic requires each block's LAST TWO dims divisible by (8,128)
+    or equal to the array dims); khf/khfsh: [T, R/G, LANE, G*A] per-row
+    spectral kernels; q: [T, 1, 1]; qg4: [T, 1, 1, G*A]."""
     T, R = x.shape[0], x.shape[1]
     G = row_group(n)
     RB = ROW_BLOCK * G
@@ -580,12 +589,12 @@ def pallas_conv_shared(x, tw3, tsh3, gfine, gfsh, itw3, itsh3, gifine,
                       memory_space=pltpu.VMEM)
     b4 = pl.BlockSpec((1, A, 1, LANE), lambda t, i: (t, zero, zero, zero),
                       memory_space=pltpu.VMEM)
-    bg = pl.BlockSpec((1, G * n), lambda t, i: (t, zero),
+    bg = pl.BlockSpec((1, 1, G * n), lambda t, i: (t, zero, zero),
                       memory_space=pltpu.VMEM)
     b3 = pl.BlockSpec((1, ROW_BLOCK, LANE, W),
                       lambda t, i: (t, i, zero, zero),
                       memory_space=pltpu.VMEM)
-    bq = pl.BlockSpec((1, 1), lambda t, i: (t, zero),
+    bq = pl.BlockSpec((1, 1, 1), lambda t, i: (t, zero, zero),
                       memory_space=pltpu.VMEM)
     bq4 = pl.BlockSpec((1, 1, 1, W), lambda t, i: (t, zero, zero, zero),
                        memory_space=pltpu.VMEM)
@@ -656,16 +665,15 @@ def apply_conv_aux(x, tree, kh, khsh, q, interpret: bool = False):
         gsp = lambda a: (group_spectral(a.reshape(-1, LANE, A), G)
                          .reshape(T, -1, LANE, G * A))
         khf, khsf = gsp(khf), gsp(khsf)
-    qT = tb(q, (1,))
+    qT = tb(q, (1, 1))
     qg4 = jnp.broadcast_to(qT.reshape(T, 1, 1, 1), (T, 1, 1, G * A))
+    fin = lambda a: _shared_fine(tb(a, (n,)), n, G)[:, None]  # [T,1,G*n]
     args = [tb(tree["tw_cat3"], (A, 1, LANE)),
             tb(tree["tw_cat3_sh"], (A, 1, LANE)),
-            _shared_fine(tb(tree["tw_fine"], (n,)), n, G),
-            _shared_fine(tb(tree["tw_fine_sh"], (n,)), n, G),
+            fin(tree["tw_fine"]), fin(tree["tw_fine_sh"]),
             tb(tree["itw_cat3"], (A, 1, LANE)),
             tb(tree["itw_cat3_sh"], (A, 1, LANE)),
-            _shared_fine(tb(tree["itw_fine"], (n,)), n, G),
-            _shared_fine(tb(tree["itw_fine_sh"], (n,)), n, G),
+            fin(tree["itw_fine"]), fin(tree["itw_fine_sh"]),
             khf, khsf, qT, qg4]
     out = pallas_conv_shared(xf, *args, n=n, interpret=interpret)
     if pad:
