@@ -295,14 +295,24 @@ def _ntt_v2():
     return True, (int(k) if k and k != "0" else None)
 
 
-def _aux_shared() -> bool:
+def _aux_shared(B: int) -> bool:
     """Shared-twiddle conv dispatch (pallas_conv_shared): one table block
     per AUX prime instead of per data row — ~8x less twiddle DMA per row
-    block and ~3.5x less VMEM.  HELIB_NTT_AUXSHARED=1 opts in (off until
-    the TPU A/B — benchmarks/kernel_aux_bench.py — proves it; the live
-    bench queue imports this tree)."""
+    block and ~3.5x less VMEM.  Default is the measured v5e A/B
+    (results_r5.log kernel_aux_fixed, value-checked per size):
+
+        B=4096  : 6.06 -> 5.03 us/row  (1.20x)  -> shared
+        B=16384 : headline end-to-end 350 -> 330 ops/s (0.94x) -> per-row
+        B=65536 : 41.4 -> 29.6 us/row  (1.40x)  -> shared
+
+    HELIB_NTT_AUXSHARED=1/0 forces it on/off for every size."""
     import os
-    return os.environ.get("HELIB_NTT_AUXSHARED", "") in ("1", "true")
+    v = os.environ.get("HELIB_NTT_AUXSHARED", "")
+    if v in ("1", "true"):
+        return True
+    if v in ("0", "false"):
+        return False
+    return B != 16384
 
 
 def _pallas_enabled() -> bool:
@@ -479,7 +489,7 @@ def bluestein_apply(x, t, m: int, B: int):
     from .pallas_ntt import MIN_PALLAS_N, MAX_PALLAS_N
     q = t["q"]
     a = mul_mod_shoup(x, t["u_in"], t["u_in_sh"], q)           # [..., P, m]
-    if (_pallas_enabled() and _aux_shared()
+    if (_pallas_enabled() and _aux_shared(B)
             and MIN_PALLAS_N <= B <= MAX_PALLAS_N and "tw_cat" in t["aux"]):
         # AUX-MAJOR shared-table path: build [3, ..., P, B] directly (no
         # transpose) and let each kernel grid step share ONE twiddle block
